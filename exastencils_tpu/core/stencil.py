@@ -1,0 +1,218 @@
+"""Stencils and stencil algebra.
+
+Reference: operator/ir/IR_Stencil.scala:34 (offset-entry stencils),
+IR_StencilEntry.scala (offset and mapping entries),
+IR_StencilOps.scala:34 (add/mul/kron/transpose/inverse-diag algebra),
+stencil/ir/IR_StencilConvolution.scala:37 (stencil * field convolution).
+
+TPU-native representation: a stencil is a list of integer offsets with
+coefficients that are scalars, arrays (variable-coefficient /
+stencil-field case, reference IR_StencilField.scala), or callables of the
+LevelGrid (grid-dependent expressions like 1/vf_gridWidth_x**2).  Binding
+a stencil to a level evaluates coefficients to concrete values, which JAX
+then constant-folds into the compiled kernel.
+
+Inter-grid (2:1) transfer operators — the reference's "mapping stencils"
+(e.g. NodeRestriction in Examples/Poisson/2D_FD_Poisson_fromL4.exa4) —
+are represented as tensor-product weight windows (IntergridStencil).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Dict, Sequence, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from exastencils_tpu.core.grid import LevelGrid
+
+Offset = Tuple[int, ...]
+Coef = Union[float, int, jnp.ndarray, np.ndarray, Callable[[LevelGrid], object]]
+
+
+def _eval_coef(coef: Coef, grid: LevelGrid):
+    if callable(coef):
+        return coef(grid)
+    return coef
+
+
+@dataclass
+class Stencil:
+    """An offset-form stencil, possibly level-dependent through callable
+    coefficients (reference IR_Stencil.scala:34)."""
+
+    name: str
+    entries: Dict[Offset, Coef] = dc_field(default_factory=dict)
+
+    @property
+    def ndim(self) -> int:
+        return len(next(iter(self.entries)))
+
+    def add_entry(self, offset: Sequence[int], coef: Coef) -> "Stencil":
+        off = tuple(int(o) for o in offset)
+        if off in self.entries:
+            prev = self.entries[off]
+            self.entries[off] = _combine(prev, coef)
+        else:
+            self.entries[off] = coef
+        return self
+
+    # --- algebra (reference IR_StencilOps.scala) ---
+    def __add__(self, other: "Stencil") -> "Stencil":
+        out = Stencil(f"({self.name}+{other.name})", dict(self.entries))
+        for off, c in other.entries.items():
+            out.add_entry(off, c)
+        return out
+
+    def __sub__(self, other: "Stencil") -> "Stencil":
+        return self + other.scaled(-1.0)
+
+    def scaled(self, s: float) -> "Stencil":
+        return Stencil(
+            f"({s}*{self.name})",
+            {off: _scale_coef(c, s) for off, c in self.entries.items()},
+        )
+
+    def transpose(self) -> "Stencil":
+        """Offset negation (reference IR_StencilOps transpose)."""
+        return Stencil(
+            f"{self.name}^T", {tuple(-o for o in off): c for off, c in self.entries.items()}
+        )
+
+    def diag(self) -> Coef:
+        """Center coefficient, as used by `diag(S)` in smoothers
+        (reference baseExt/ir/IR_MatNodes + L4 `diag` builtin)."""
+        zero = (0,) * self.ndim
+        if zero not in self.entries:
+            raise ValueError(f"stencil {self.name} has no center entry")
+        return self.entries[zero]
+
+    def compose(self, other: "Stencil") -> "Stencil":
+        """Stencil-of-stencil product (A*B)[o] = sum_{p+q=o} A[p] B[q]
+        — constant-coefficient case of the reference's Galerkin product
+        (operator/ir/IR_OperatorTimesOperator.scala).  Variable
+        coefficients require binding first."""
+        out = Stencil(f"({self.name}*{other.name})")
+        for (po, pc), (qo, qc) in itertools.product(self.entries.items(), other.entries.items()):
+            off = tuple(a + b for a, b in zip(po, qo))
+            out.add_entry(off, _mul_coefs(pc, qc))
+        return out
+
+    def kron(self, other: "Stencil") -> "Stencil":
+        """Dimensionality-raising tensor product (reference IR_StencilOps kron)."""
+        out = Stencil(f"({self.name}(x){other.name})")
+        for (po, pc), (qo, qc) in itertools.product(self.entries.items(), other.entries.items()):
+            out.add_entry(po + qo, _mul_coefs(pc, qc))
+        return out
+
+    def bind(self, grid: LevelGrid) -> "BoundStencil":
+        return BoundStencil(
+            self.name,
+            tuple(self.entries.keys()),
+            tuple(_eval_coef(c, grid) for c in self.entries.values()),
+        )
+
+    @property
+    def radius(self) -> int:
+        return max(max(abs(o) for o in off) for off in self.entries)
+
+
+def _scale_coef(c: Coef, s: float) -> Coef:
+    if callable(c):
+        return lambda g, _c=c, _s=s: _s * _eval_coef(_c, g)
+    return s * c
+
+
+def _combine(a: Coef, b: Coef) -> Coef:
+    if callable(a) or callable(b):
+        return lambda g, _a=a, _b=b: _eval_coef(_a, g) + _eval_coef(_b, g)
+    return a + b
+
+
+def _mul_coefs(a: Coef, b: Coef) -> Coef:
+    if callable(a) or callable(b):
+        return lambda g, _a=a, _b=b: _eval_coef(_a, g) * _eval_coef(_b, g)
+    return a * b
+
+
+@dataclass(frozen=True)
+class BoundStencil:
+    """A stencil with concrete per-level coefficients (scalars or arrays
+    broadcastable against the field it is applied to)."""
+
+    name: str
+    offsets: Tuple[Offset, ...]
+    coefs: Tuple[object, ...]
+
+    @property
+    def ndim(self) -> int:
+        return len(self.offsets[0])
+
+    @property
+    def radius(self) -> int:
+        return max(max(abs(o) for o in off) for off in self.offsets)
+
+    def diag(self):
+        zero = (0,) * self.ndim
+        return self.coefs[self.offsets.index(zero)]
+
+    def items(self):
+        return zip(self.offsets, self.coefs)
+
+
+# ----------------------------------------------------------------------
+# inter-grid operators (2:1 refinement ratio, reference config/Knowledge
+# refinement_maxFineNeighborsPerDim = 2)
+# ----------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IntergridStencil:
+    """A 2:1 transfer operator as a weight window.
+
+    restriction:  coarse[i] = sum_d w[d] * fine[2*i + lo + d]
+    prolongation: fine[j]  += sum over coarse c with j - 2*c - lo in window:
+                  w[j - 2*c - lo] * coarse[c]
+    (the transpose relation; reference mapping stencils, e.g.
+    NodeRestriction / NodeProlongation in 2D_FD_Poisson_fromL4.exa4)."""
+
+    kind: str  # "restriction" | "prolongation"
+    weights: np.ndarray  # full ndim weight window
+    lo: Tuple[int, ...]  # offset of window element [0,...,0]
+
+    @property
+    def ndim(self) -> int:
+        return self.weights.ndim
+
+
+def _tensor_window(kernel_1d: Sequence[float], ndim: int) -> np.ndarray:
+    w = np.array(kernel_1d, dtype=np.float64)
+    out = w
+    for _ in range(ndim - 1):
+        out = np.multiply.outer(out, w)
+    return out
+
+
+def node_restriction(ndim: int) -> IntergridStencil:
+    """Full weighting [1/4, 1/2, 1/4]^d (reference L3_DefaultRestriction,
+    matching NodeRestriction in the L4 Poisson example)."""
+    return IntergridStencil("restriction", _tensor_window([0.25, 0.5, 0.25], ndim), (-1,) * ndim)
+
+
+def node_prolongation(ndim: int) -> IntergridStencil:
+    """Bi/tri-linear interpolation [1/2, 1, 1/2]^d (reference
+    L3_DefaultProlongation / NodeProlongation mapping stencil)."""
+    return IntergridStencil("prolongation", _tensor_window([0.5, 1.0, 0.5], ndim), (-1,) * ndim)
+
+
+def cell_restriction(ndim: int) -> IntergridStencil:
+    """Averaging over the 2^d child cells (reference L3_DefaultRestriction
+    cell localization)."""
+    return IntergridStencil("restriction", _tensor_window([0.5, 0.5], ndim), (0,) * ndim)
+
+
+def cell_prolongation(ndim: int) -> IntergridStencil:
+    """Piecewise-constant injection to child cells."""
+    return IntergridStencil("prolongation", _tensor_window([1.0, 1.0], ndim), (0,) * ndim)

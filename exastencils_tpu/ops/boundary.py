@@ -1,0 +1,96 @@
+"""Boundary-condition application on dense level arrays.
+
+Reference: boundary/ir/IR_HandleBoundaries.scala (`apply bc to field`
+generates per-neighbor-direction boundary loops); IR_DirichletBC.scala,
+IR_NeumannBC.scala.
+
+On the dense global representation the boundary DOFs of a node field are
+the outermost planes; `apply bc` becomes a handful of plane writes that
+XLA fuses with the producing kernel.  The returned applier is a pure
+function arr -> arr; Dirichlet values are precomputed per level so they
+compile to constants.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from exastencils_tpu.core.field import BC, DirichletBC, Field, NeumannBC, NoBC
+from exastencils_tpu.core.grid import NODE, LevelGrid
+
+
+def _plane(nd: int, dim: int, index) -> tuple:
+    return tuple(index if d == dim else slice(None) for d in range(nd))
+
+
+def make_bc_applier(field: Field, grid: LevelGrid, level: int = None) -> Callable:
+    """Build `apply_bc(arr) -> arr` for `field` on `grid`.
+
+    Only node-localized fields carry boundary DOFs in the dense
+    representation; cell/face fields handle Dirichlet through ghost
+    layers in the sharded/FV path (see parallel.halo / models.fv)."""
+    bc = field.bc_at(grid.level if level is None else level)
+    nd = grid.ndim
+
+    if isinstance(bc, NoBC):
+        return lambda arr: arr
+
+    if field.localization != NODE:
+        # FV-style bc handled at stencil-construction time (ghost folding)
+        return lambda arr: arr
+
+    if isinstance(bc, DirichletBC):
+        if callable(bc.value):
+            coords = grid.coord_mesh(NODE)
+            values = bc.value(*coords) + jnp.zeros(grid.shape_of(NODE), grid.dtype)
+        else:
+            values = None  # scalar fast path
+
+        def apply_dirichlet(arr):
+            for d in range(nd):
+                for idx in (0, -1):
+                    pl = _plane(nd, d, idx)
+                    if values is None:
+                        arr = arr.at[pl].set(jnp.asarray(bc.value, arr.dtype))
+                    else:
+                        arr = arr.at[pl].set(values[pl].astype(arr.dtype))
+            return arr
+
+        return apply_dirichlet
+
+    if isinstance(bc, NeumannBC):
+        order = bc.order
+
+        def apply_neumann(arr):
+            # zero-flux: extrapolate boundary plane from interior
+            # (reference IR_NeumannBC: order-1 copy / order-2 quadratic)
+            for d in range(nd):
+                if order == 1:
+                    arr = arr.at[_plane(nd, d, 0)].set(arr[_plane(nd, d, 1)])
+                    arr = arr.at[_plane(nd, d, -1)].set(arr[_plane(nd, d, -2)])
+                elif order == 2:
+                    arr = arr.at[_plane(nd, d, 0)].set(
+                        (4.0 * arr[_plane(nd, d, 1)] - arr[_plane(nd, d, 2)]) / 3.0
+                    )
+                    arr = arr.at[_plane(nd, d, -1)].set(
+                        (4.0 * arr[_plane(nd, d, -2)] - arr[_plane(nd, d, -3)]) / 3.0
+                    )
+                else:
+                    raise ValueError(f"Neumann order {order} not supported")
+            return arr
+
+        return apply_neumann
+
+    raise TypeError(f"unsupported bc {bc!r}")
+
+
+def boundary_mask(grid: LevelGrid, dtype=bool) -> jnp.ndarray:
+    """True on boundary DOFs of a node field (reference IR_IsOnBoundary)."""
+    shape = grid.shape_of(NODE)
+    m = jnp.zeros(shape, dtype)
+    for d in range(grid.ndim):
+        m = m.at[_plane(grid.ndim, d, 0)].set(True)
+        m = m.at[_plane(grid.ndim, d, -1)].set(True)
+    return m

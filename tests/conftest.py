@@ -1,0 +1,29 @@
+"""Test env: CPU backend with 8 virtual devices (the analog of the
+reference's `mpirun --oversubscribe` single-node multi-rank testing,
+Utilities/run_exastencils.py:49-58) and float64 enabled for golden-parity
+residual sequences."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the machine default is the
+# single-chip 'axon' TPU tunnel, but tests need f64 + 8 virtual devices
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference tree not mounted")
+    return REFERENCE
