@@ -16,7 +16,6 @@ from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 
 from exastencils_tpu.config import Knowledge
@@ -24,9 +23,7 @@ from exastencils_tpu.core.domain import Domain, unit_domain
 from exastencils_tpu.core.field import DirichletBC, Field
 from exastencils_tpu.core.grid import NODE, level_grids
 from exastencils_tpu.core.stencil import Stencil, node_prolongation, node_restriction
-from exastencils_tpu.ops.boundary import make_bc_applier
-from exastencils_tpu.ops.reductions import norm_max
-from exastencils_tpu.ops.smoothers import color_mask, make_smoother
+from exastencils_tpu.ops.smoothers import make_smoother
 from exastencils_tpu.ops.stencil_apply import apply_stencil
 from exastencils_tpu.solver.krylov import SOLVERS
 from exastencils_tpu.solver.mg import Multigrid, MGLevelOps
@@ -76,7 +73,11 @@ def default_rhs_3d(x, y, z):
 
 @dataclass
 class PoissonMGSolver:
-    """FD Poisson with geometric multigrid on [0,1]^d."""
+    """FD Poisson with geometric multigrid on [0,1]^d.
+
+    Runs on either execution backend: the dense single-chip path, or the
+    fragment-sharded multi-chip path (pass `backend` or set
+    knowledge.tpu_mesh_shape)."""
 
     knowledge: Knowledge
     bc_fn: Callable = None  # Dirichlet boundary value g(x, y[, z])
@@ -89,6 +90,9 @@ class PoissonMGSolver:
     cgs_max_its: int = 128
     cgs_res_reduction: float = 1e-3
     domain: Optional[Domain] = None
+    backend: object = None
+    mesh: object = None  # jax.sharding.Mesh -> use the sharded backend
+    shard_dims: Optional[tuple] = None  # shards per spatial dim
 
     def __post_init__(self):
         k = self.knowledge
@@ -107,6 +111,17 @@ class PoissonMGSolver:
         self.restrict_op = node_restriction(nd)
         self.prolong_op = node_prolongation(nd)
 
+        if self.backend is None:
+            if self.mesh is not None:
+                from exastencils_tpu.parallel.backend import ShardedBackend
+
+                dims = self.shard_dims or tuple(self.mesh.devices.shape)
+                self.backend = ShardedBackend(self.grids, self.mesh, dims)
+            else:
+                from exastencils_tpu.parallel.backend import DenseBackend
+
+                self.backend = DenseBackend(self.grids)
+
         # field declarations (reference field block of the L4 example)
         self.solution = Field(
             "Solution",
@@ -121,23 +136,31 @@ class PoissonMGSolver:
         levels: Dict[int, MGLevelOps] = {}
         for lvl in range(k.minLevel, k.maxLevel + 1):
             g = self.grids[lvl]
-            shape = g.shape_of(NODE)
+            h = self.backend.handle(lvl)
             A = self.stencil.bind(g)
-            bc_sol = make_bc_applier(self.solution, g, lvl)
-            bc_res = make_bc_applier(self.residual_f, g, lvl)
-            coloring = [
-                (lambda c=c, shape=shape: color_mask(shape, c, 2)) for c in (0, 1)
-            ]
-            smooth = make_smoother(A, bc_sol, omega=self.omega, coloring=coloring)
+            bc_sol = h.bc_applier(self.solution, lvl)
+            bc_res = h.bc_applier(self.residual_f, lvl)
+            smooth = make_smoother(
+                A, bc_sol, exchange=h.exchange, omega=self.omega,
+                coloring=h.color_masks(2),
+            )
+            restrict_fn = prolong_fn = None
+            if lvl > k.minLevel:
+                restrict_fn, prolong_fn = self.backend.transfer_fns(
+                    lvl, self.restrict_op, self.prolong_op
+                )
             levels[lvl] = MGLevelOps(
                 grid=g,
-                shape=shape,
+                shape=h.work_shape,
                 A_apply=partial(apply_stencil, A),
                 smooth=smooth,
                 bc_sol=bc_sol,
                 bc_res=bc_res,
-                restrict_op=self.restrict_op,
-                prolong_op=self.prolong_op,
+                exchange=h.exchange,
+                restrict_fn=restrict_fn,
+                prolong_fn=prolong_fn,
+                dot_fn=h.dot,
+                norm_fn=h.norm_l2,
             )
         self.levels = levels
 
@@ -146,13 +169,15 @@ class PoissonMGSolver:
 
         def coarse_solve(sol, rhs):
             return krylov(
-                lv0.A_apply,
+                lambda p: lv0.A_apply(lv0.exchange(p)),
                 sol,
                 rhs,
                 bc_sol=lv0.bc_sol,
                 bc_res=lv0.bc_res,
                 max_its=self.cgs_max_its,
                 res_reduction=self.cgs_res_reduction,
+                dot_fn=lv0.dot_fn,
+                norm_fn=lv0.norm_fn,
             ).sol
 
         self.mg = Multigrid(
@@ -165,21 +190,35 @@ class PoissonMGSolver:
             cycle_type=k.mg_cycle,
         )
 
+        # wrapped step functions (shard_mapped on the sharded backend)
+        b = self.backend
+        self._cycle = b.wrap(self.mg.cycle, ("field", "field"), "field")
+        self._res_norm = b.wrap(self.mg.res_norm, ("field", "field"), "scalar")
+        self._err = b.wrap(self._max_error_local, ("field",), "scalar")
+
     # ------------------------------------------------------------------
     def init_state(self):
         """initFieldsWithZero + InitRHS@finest + apply bc to Solution@finest
         (reference Function Application of the L4 example)."""
         k = self.knowledge
-        g = self.grids[k.maxLevel]
         lv = self.levels[k.maxLevel]
-        sol = lv.bc_sol(jnp.zeros(lv.shape, self.dtype))
-        rhs = self.rhs_fn(*g.coord_mesh(NODE)) + jnp.zeros(lv.shape, self.dtype)
-        return sol, rhs
+        b = self.backend
+
+        def build():
+            h = b.handle(k.maxLevel)
+            sol = lv.bc_sol(h.zeros(self.dtype))
+            rhs = h.init_field_local(self.rhs_fn, self.dtype)
+            return sol, rhs
+
+        return b.wrap(build, (), ("field", "field"))()
+
+    def _max_error_local(self, sol):
+        h = self.backend.handle(self.knowledge.maxLevel)
+        exact = self.exact_fn(*h.coords())
+        return h.norm_max(sol - exact)
 
     def max_error(self, sol):
-        g = self.grids[self.knowledge.maxLevel]
-        exact = self.exact_fn(*g.coord_mesh(NODE))
-        return norm_max(sol - exact)
+        return self._err(sol)
 
     # ------------------------------------------------------------------
     def solve(
@@ -196,16 +235,33 @@ class PoissonMGSolver:
         emit = out if out is not None else lines.append
 
         sol, rhs = self.init_state()
-        err_fn = jax.jit(self.max_error)
 
         def callback(it, s, cur_res):
             if print_error:
-                emit(reduced_prec_str(float(err_fn(s))))
+                emit(reduced_prec_str(float(self._err(s))))
             emit(reduced_prec_str(float(cur_res)))
 
-        res0 = self.mg.res_norm(sol, rhs)
+        res0 = self._res_norm(sol, rhs)
         emit(reduced_prec_str(float(res0)))
         sol, init_res, cur_res, it = self.mg.solve(
-            sol, rhs, target_res_reduction, max_its, callback
+            sol,
+            rhs,
+            target_res_reduction,
+            max_its,
+            callback,
+            cycle_fn=self._cycle,
+            res_norm_fn=self._res_norm,
         )
         return sol, lines, float(init_res), float(cur_res), it
+
+    # ------------------------------------------------------------------
+    def solve_fused(self, max_its: int = 100, target_res_reduction: float = 1e-10):
+        """Fully device-resident solve (lax.while_loop, no host sync) —
+        the production/benchmark path."""
+        sol, rhs = self.init_state()
+        fused = self.backend.wrap(
+            lambda s, r: self.mg.solve_jit(s, r, target_res_reduction, max_its),
+            ("field", "field"),
+            ("field", "scalar", "scalar", "scalar"),
+        )
+        return fused(sol, rhs)

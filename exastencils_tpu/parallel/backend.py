@@ -1,0 +1,354 @@
+"""Execution backends: dense single-chip vs fragment-sharded multi-chip.
+
+A backend provides per-level "handles" with a uniform interface (shape,
+exchange, bc application, color masks, ownership-aware reductions,
+inter-grid transfers, field initialization), so model/solver code is
+written once and runs either:
+
+  * DenseBackend   — global dense arrays, one device, exchange = no-op
+                     (the reference's serial / single-rank codepath);
+  * ShardedBackend — fragment-stacked arrays over a jax.sharding.Mesh,
+                     whole solver steps wrapped in one shard_map with
+                     ppermute halo exchange (the MPI-block codepath,
+                     communication/ir/*, re-expressed over ICI/DCN).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from exastencils_tpu.core.field import DirichletBC, Field, NeumannBC, NoBC
+from exastencils_tpu.core.grid import NODE, LevelGrid
+from exastencils_tpu.core.stencil import IntergridStencil
+from exastencils_tpu.ops.boundary import make_bc_applier
+from exastencils_tpu.ops.reductions import dot as _dot, norm_l2 as _norm_l2, norm_max as _norm_max
+from exastencils_tpu.ops.smoothers import color_mask
+from exastencils_tpu.ops.stencil_apply import prolong as dense_prolong, restrict as dense_restrict
+from exastencils_tpu.parallel.topology import ShardTopology
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    _shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+# ======================================================================
+# dense (single-chip) backend
+# ======================================================================
+
+
+@dataclass
+class DenseLevelHandle:
+    grid: LevelGrid
+    shape: Tuple[int, ...]
+
+    @property
+    def work_shape(self):
+        """Shape solver code sees (== global shape on the dense path)."""
+        return self.shape
+
+    def exchange(self, x):
+        return x
+
+    def bc_applier(self, field: Field, level: int) -> Callable:
+        return make_bc_applier(field, self.grid, level)
+
+    def color_masks(self, num_colors: int = 2, color_fn=None):
+        return [
+            (lambda c=c: color_mask(self.shape, c, num_colors, color_fn=color_fn))
+            for c in range(num_colors)
+        ]
+
+    def coords(self):
+        return self.grid.coord_mesh(NODE)
+
+    # reductions --------------------------------------------------------
+    def dot(self, a, b):
+        return _dot(a, b)
+
+    def norm_l2(self, a):
+        return _norm_l2(a)
+
+    def norm_max(self, a):
+        return _norm_max(a)
+
+    # init --------------------------------------------------------------
+    def zeros(self, dtype):
+        return jnp.zeros(self.shape, dtype)
+
+    def init_field_local(self, fn, dtype):
+        if fn is None:
+            return self.zeros(dtype)
+        return fn(*self.coords()) + jnp.zeros(self.shape, dtype)
+
+    def to_global(self, arr):
+        return np.asarray(arr)
+
+
+class DenseBackend:
+    """Single-device backend over global dense node arrays."""
+
+    is_sharded = False
+
+    def __init__(self, grids: Dict[int, LevelGrid]):
+        self.grids = grids
+        self.handles = {
+            lvl: DenseLevelHandle(g, g.shape_of(NODE)) for lvl, g in grids.items()
+        }
+
+    def handle(self, level: int) -> DenseLevelHandle:
+        return self.handles[level]
+
+    def transfer_fns(self, fine_level: int, restrict_op: IntergridStencil, prolong_op: IntergridStencil):
+        fine = self.handles[fine_level]
+        coarse = self.handles[fine_level - 1]
+        return (
+            lambda res: dense_restrict(restrict_op, res, coarse.shape),
+            lambda sol_c: dense_prolong(prolong_op, sol_c, fine.shape),
+        )
+
+    def wrap(self, fn, in_kinds=None, out_kinds=None, donate_argnums=()):
+        return jax.jit(fn, donate_argnums=donate_argnums)
+
+    def init_field(self, level: int, fn, dtype):
+        return jax.jit(lambda: self.handles[level].init_field_local(fn, dtype))()
+
+
+# ======================================================================
+# sharded (multi-chip) backend
+# ======================================================================
+
+
+@dataclass
+class ShardedLevelHandle:
+    grid: LevelGrid
+    topo: ShardTopology
+    local_cells: Tuple[int, ...]
+
+    def __post_init__(self):
+        self.local_shape = self.topo.local_shape(self.local_cells)
+        self.shape = tuple(
+            p * t for p, t in zip(self.topo.P, self.local_shape)
+        )  # global stacked shape
+
+    @property
+    def work_shape(self):
+        """Shape solver code sees inside shard_map (the fragment view)."""
+        return self.local_shape
+
+    # inside-shard_map ops ---------------------------------------------
+    def exchange(self, x):
+        return self.topo.exchange(x, self.local_cells)
+
+    def bc_applier(self, field: Field, level: int) -> Callable:
+        bc = field.bc_at(level)
+        topo, g = self.topo, self.topo.ghost
+        nd = topo.ndim
+        shape = self.local_shape
+
+        if isinstance(bc, NoBC) or field.localization != NODE:
+            return lambda arr: arr
+
+        if isinstance(bc, DirichletBC):
+            value = bc.value
+
+            def apply_dirichlet(arr):
+                if callable(value):
+                    coords = topo.local_coords(self.grid, self.local_cells, shape)
+                    vals = (value(*coords) + jnp.zeros(shape, arr.dtype)).astype(arr.dtype)
+                else:
+                    vals = jnp.asarray(value, arr.dtype)
+                for d in range(nd):
+                    i = lax.broadcasted_iota(jnp.int32, shape, d)
+                    lo_plane = jnp.logical_and(i == g, topo.is_lo_boundary(d))
+                    hi_plane = jnp.logical_and(
+                        i == g + self.local_cells[d], topo.is_hi_boundary(d)
+                    )
+                    arr = jnp.where(jnp.logical_or(lo_plane, hi_plane), vals, arr)
+                return arr
+
+            return apply_dirichlet
+
+        if isinstance(bc, NeumannBC):
+            order = bc.order
+
+            def apply_neumann(arr):
+                # boundary plane from interior neighbors along the normal
+                for d in range(nd):
+                    i = lax.broadcasted_iota(jnp.int32, shape, d)
+                    lo = g
+                    hi = g + self.local_cells[d]
+                    if order == 1:
+                        lo_val = jnp.roll(arr, -1, axis=d)
+                        hi_val = jnp.roll(arr, 1, axis=d)
+                    else:
+                        lo_val = (4.0 * jnp.roll(arr, -1, axis=d) - jnp.roll(arr, -2, axis=d)) / 3.0
+                        hi_val = (4.0 * jnp.roll(arr, 1, axis=d) - jnp.roll(arr, 2, axis=d)) / 3.0
+                    arr = jnp.where(
+                        jnp.logical_and(i == lo, self.topo.is_lo_boundary(d)), lo_val, arr
+                    )
+                    arr = jnp.where(
+                        jnp.logical_and(i == hi, self.topo.is_hi_boundary(d)), hi_val, arr
+                    )
+                return arr
+
+            return apply_neumann
+
+        raise TypeError(f"unsupported bc {bc!r}")
+
+    def color_masks(self, num_colors: int = 2, color_fn=None):
+        def make(c):
+            def build():
+                offs = self.topo.index_offsets(self.local_cells)
+                return color_mask(
+                    self.local_shape, c, num_colors, index_offset=offs, color_fn=color_fn
+                )
+
+            return build
+
+        return [make(c) for c in range(num_colors)]
+
+    def coords(self):
+        return self.topo.local_coords(self.grid, self.local_cells, self.local_shape)
+
+    # ownership-aware reductions ---------------------------------------
+    def _owned(self):
+        return self.topo.owned_mask(self.local_shape, self.local_cells)
+
+    def dot(self, a, b):
+        local = jnp.sum(jnp.where(self._owned(), a * b, 0))
+        return self.topo.psum(local)
+
+    def norm_l2(self, a):
+        return jnp.sqrt(self.dot(a, a))
+
+    def norm_max(self, a):
+        local = jnp.max(jnp.where(self._owned(), jnp.abs(a), 0))
+        return self.topo.pmax(local)
+
+    # init (inside shard_map) ------------------------------------------
+    def zeros(self, dtype):
+        return jnp.zeros(self.local_shape, dtype)
+
+    def init_field_local(self, fn, dtype):
+        if fn is None:
+            return self.zeros(dtype)
+        return fn(*self.coords()) + jnp.zeros(self.local_shape, dtype)
+
+
+class ShardedBackend:
+    """Fragment-stacked arrays over a device mesh; solver steps run in a
+    single shard_map."""
+
+    is_sharded = True
+
+    def __init__(self, grids: Dict[int, LevelGrid], mesh: Mesh, shard_dims: Tuple[int, ...], ghost: int = 1):
+        """shard_dims[d] = shards along spatial dim d (product = mesh size;
+        dims with 1 are unsharded)."""
+        self.mesh = mesh
+        shard_dims = tuple(int(p) for p in shard_dims)
+        if tuple(mesh.devices.shape) != shard_dims:
+            raise ValueError(
+                f"mesh shape {mesh.devices.shape} != shard_dims {shard_dims}; "
+                "build the mesh with one axis per spatial dim (size 1 allowed)"
+            )
+        names = tuple(
+            n if p > 1 else None for n, p in zip(mesh.axis_names, shard_dims)
+        )
+        self.topo = ShardTopology(mesh, shard_dims, names, ghost)
+        self.grids = grids
+        self.handles = {}
+        for lvl, g in grids.items():
+            cells = g.cells
+            local = []
+            for d, c in enumerate(cells):
+                if c % shard_dims[d]:
+                    raise ValueError(
+                        f"level {lvl}: {c} cells not divisible by {shard_dims[d]} shards on dim {d}"
+                    )
+                local.append(c // shard_dims[d])
+            self.handles[lvl] = ShardedLevelHandle(g, self.topo, tuple(local))
+
+    def handle(self, level: int) -> ShardedLevelHandle:
+        return self.handles[level]
+
+    # ------------------------------------------------------------------
+    def transfer_fns(self, fine_level: int, restrict_op: IntergridStencil, prolong_op: IntergridStencil):
+        fh = self.handles[fine_level]
+        ch = self.handles[fine_level - 1]
+        g = self.topo.ghost
+        nd = self.topo.ndim
+
+        def restrict_local(res):
+            """coarse[j] = sum W * fine[2j + lo + k] on local nodes, using
+            exchanged fine ghosts at fragment interfaces."""
+            W = restrict_op.weights
+            lo = restrict_op.lo
+            out = None
+            for idx in np.ndindex(*W.shape):
+                w = float(W[idx])
+                if w == 0.0:
+                    continue
+                sl = tuple(
+                    slice(g + lo[d] + idx[d], g + lo[d] + idx[d] + 2 * ch.local_cells[d] + 1, 2)
+                    for d in range(nd)
+                )
+                term = w * res[sl]
+                out = term if out is None else out + term
+            core = out
+            full = jnp.zeros(ch.local_shape, res.dtype)
+            return full.at[tuple(slice(g, g + n + 1) for n in ch.local_cells)].set(core)
+
+        def prolong_local(sol_c):
+            core_c = sol_c[tuple(slice(g, g + n + 1) for n in ch.local_cells)]
+            fine_nodes = tuple(n + 1 for n in fh.local_cells)
+            corr = dense_prolong(prolong_op, core_c, fine_nodes)
+            full = jnp.zeros(fh.local_shape, sol_c.dtype)
+            return full.at[tuple(slice(g, g + n + 1) for n in fh.local_cells)].set(corr)
+
+        return restrict_local, prolong_local
+
+    # ------------------------------------------------------------------
+    def spec(self):
+        return P(*(n for n in self.topo.names))
+
+    def sharding(self):
+        return NamedSharding(self.mesh, self.spec())
+
+    def wrap(self, fn, in_kinds, out_kinds, donate_argnums=()):
+        """shard_map + jit.  kinds: 'field' (fragment-stacked array) or
+        'scalar' (replicated)."""
+        fspec = self.spec()
+
+        def spec_of(kind):
+            return fspec if kind == "field" else P()
+
+        mapped = _shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=tuple(spec_of(k) for k in in_kinds),
+            out_specs=tuple(spec_of(k) for k in out_kinds)
+            if isinstance(out_kinds, (list, tuple))
+            else spec_of(out_kinds),
+        )
+        return jax.jit(mapped, donate_argnums=donate_argnums)
+
+    # host-side init: build a global stacked array from a local init fn
+    def init_field(self, level: int, fn, dtype):
+        h = self.handles[level]
+
+        def local_init():
+            return h.init_field_local(fn, dtype)
+
+        build = jax.jit(
+            _shard_map(local_init, mesh=self.mesh, in_specs=(), out_specs=self.spec())
+        )
+        return build()

@@ -1,0 +1,228 @@
+"""Fragment topology: local index algebra + halo exchange inside shard_map.
+
+Reference mapping (SURVEY.md §2.4): each device shard holds one fragment
+with the reference's memory layout [ghost g | dup 1 | inner | dup 1 |
+ghost g] per dim (field/ir/IR_FieldLayout.scala:51-73).  The generated
+pack/Isend/Irecv/unpack machinery (communication/ir/IR_CommunicateFunction
+.scala, IR_PackInfo.scala) becomes per-axis `lax.ppermute` shifts of edge
+slabs; axis-sequential sweeps that include previously filled ghosts
+reproduce `comm_onlyAxisNeighbors` corner semantics
+(communication/DefaultNeighbors.scala:33-100).
+
+ppermute conveniently writes zeros to shards with no source — exactly the
+reference's physical-boundary ghost convention (ghosts at the domain
+boundary stay at their initFieldsWithZero value).
+
+Ownership (reductions, `loop over` bounds): dup-left is owned only by
+fragments on the physical lower boundary; dup-right is always owned
+(IR_LoopOverPointsInOneFragment.scala:78-101 IterationOffset semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class ShardTopology:
+    """Static description of the fragment decomposition of one level set.
+
+    P[d]   : number of shards along spatial dim d (1 = unsharded)
+    names  : mesh axis name per spatial dim (None where unsharded)
+    ghost  : halo width g
+    """
+
+    mesh: Mesh
+    P: Tuple[int, ...]
+    names: Tuple[Optional[str], ...]
+    ghost: int = 1
+
+    @property
+    def ndim(self) -> int:
+        return len(self.P)
+
+    # ---------------- local layout (node-centered) ----------------
+    def local_shape(self, local_cells: Tuple[int, ...]) -> Tuple[int, ...]:
+        """n + 1 + 2g entries per dim: [ghost | dup | inner | dup | ghost]."""
+        return tuple(n + 1 + 2 * self.ghost for n in local_cells)
+
+    def node_lo(self) -> int:
+        return self.ghost
+
+    def node_hi(self, n: int) -> int:
+        return self.ghost + n  # inclusive index of dup-right / boundary node
+
+    # ---------------- mesh queries (inside shard_map) ----------------
+    def axis_index(self, d: int):
+        if self.P[d] == 1:
+            return jnp.int32(0)
+        return lax.axis_index(self.names[d])
+
+    def is_lo_boundary(self, d: int):
+        return self.axis_index(d) == 0
+
+    def is_hi_boundary(self, d: int):
+        return self.axis_index(d) == self.P[d] - 1
+
+    def _shift(self, x, d: int, direction: int):
+        """Move slab `x` one shard along +d (direction=+1) or -d; shards
+        with no source receive zeros."""
+        if self.P[d] == 1:
+            return jnp.zeros_like(x)
+        perm = [
+            (i, i + direction) for i in range(self.P[d]) if 0 <= i + direction < self.P[d]
+        ]
+        return lax.ppermute(x, self.names[d], perm)
+
+    # ---------------- halo exchange ----------------
+    def exchange(self, x, local_cells: Tuple[int, ...]):
+        """Fill ghost+dup layers from neighbors along every sharded dim.
+
+        Per dim d (axis-sequential so corners resolve after later dims):
+          * owner's [n .. n+g] node slab (incl. dup-right) -> right
+            neighbor's [0 .. g] (ghost-left + dup-left)
+          * [g+1 .. 2g] interior slab -> left neighbor's ghost-right
+        Physical-boundary shards receive zeros for ghosts and keep their
+        own dup plane (= the boundary node values)."""
+        g = self.ghost
+        nd = self.ndim
+        for d in range(nd):
+            if self.P[d] == 1:
+                continue
+            n = local_cells[d]
+            T = x.shape[d]
+
+            def sl(lo, hi):  # slice along d, full extent elsewhere
+                return tuple(
+                    slice(lo, hi) if i == d else slice(None) for i in range(nd)
+                )
+
+            # -> +d : last g+1 node entries [g+n-g .. g+n] = [n .. n+g]
+            send_hi = x[sl(n, n + g + 1)]
+            recv_lo = self._shift(send_hi, d, +1)
+            # dup-left plane (last entry of the slab) must survive on the
+            # physical lo-boundary shard: it is the boundary node there.
+            keep = self.is_lo_boundary(d)
+            cur_lo = x[sl(0, g + 1)]
+            mask_shape = [1] * nd
+            mask_shape[d] = g + 1
+            plane = jnp.arange(g + 1).reshape(mask_shape) == g
+            new_lo = jnp.where(jnp.logical_and(keep, plane), cur_lo, recv_lo)
+            x = x.at[sl(0, g + 1)].set(new_lo)
+
+            # -> -d : first g interior entries [g+1 .. 2g]
+            send_lo = x[sl(g + 1, 2 * g + 1)]
+            recv_hi = self._shift(send_lo, d, -1)
+            x = x.at[sl(T - g, T)].set(recv_hi)
+        return x
+
+    # ---------------- masks / coordinates ----------------
+    def global_index_1d(self, d: int, size: int, local_cells: Tuple[int, ...]):
+        """Global node index for each local entry along d (ghosts included,
+        may be negative / beyond at boundaries)."""
+        base = self.axis_index(d) * local_cells[d] - self.ghost
+        idx = lax.broadcasted_iota(jnp.int32, (size,), 0) + base
+        return idx
+
+    def owned_mask(self, shape: Tuple[int, ...], local_cells: Tuple[int, ...]):
+        """True where this shard owns the DOF (each global node exactly
+        once): nodes [g+1 .. g+n], plus g on physical lo boundary."""
+        g = self.ghost
+        nd = self.ndim
+        m = None
+        for d in range(nd):
+            n = local_cells[d]
+            i = lax.broadcasted_iota(jnp.int32, shape, d)
+            own = jnp.logical_and(i >= g + 1, i <= g + n)
+            own = jnp.logical_or(
+                own, jnp.logical_and(i == g, self.is_lo_boundary(d))
+            )
+            m = own if m is None else jnp.logical_and(m, own)
+        return m
+
+    def index_offsets(self, local_cells: Tuple[int, ...]):
+        """Global-minus-local index offset per dim (for color parity)."""
+        return tuple(
+            self.axis_index(d) * local_cells[d] - self.ghost for d in range(self.ndim)
+        )
+
+    def local_coords(self, grid, local_cells: Tuple[int, ...], shape: Tuple[int, ...]):
+        """Physical node coordinates of local entries (broadcastable),
+        the sharded analog of LevelGrid.coord_mesh (vf_nodePos_*)."""
+        out = []
+        for d in range(self.ndim):
+            gi = self.global_index_1d(d, shape[d], local_cells)
+            c = grid.domain.aabb.lower[d] + grid.grid_width(d) * gi.astype(grid.dtype)
+            bshape = [1] * self.ndim
+            bshape[d] = shape[d]
+            out.append(c.reshape(bshape))
+        return tuple(out)
+
+    # ---------------- reductions ----------------
+    def psum(self, v):
+        for d in range(self.ndim):
+            if self.P[d] > 1:
+                v = lax.psum(v, self.names[d])
+        return v
+
+    def pmax(self, v):
+        for d in range(self.ndim):
+            if self.P[d] > 1:
+                v = lax.pmax(v, self.names[d])
+        return v
+
+    # ---------------- shard_map wrapper ----------------
+    def spec(self) -> P:
+        return P(*self.names)
+
+    def shard_map(self, fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+# ----------------------------------------------------------------------
+# host-side conversion: dense global <-> fragment-stacked
+# ----------------------------------------------------------------------
+
+
+def dense_to_fragments(dense: np.ndarray, topo: ShardTopology, local_cells) -> np.ndarray:
+    """Scatter a dense global node array ((N_d+1) per dim) into the
+    stacked representation (P_d * (n_d+1+2g) per dim) with overlapping
+    dup planes and zero ghosts (test/IO utility)."""
+    g = topo.ghost
+    nd = topo.ndim
+    dense = np.asarray(dense)
+    loc = topo.local_shape(tuple(local_cells))
+    out = np.zeros(tuple(p * t for p, t in zip(topo.P, loc)), dense.dtype)
+    for fidx in np.ndindex(*topo.P):
+        block = np.zeros(loc, dense.dtype)
+        src = tuple(
+            slice(f * n, f * n + n + 1) for f, n in zip(fidx, local_cells)
+        )
+        block[tuple(slice(g, g + n + 1) for n in local_cells)] = dense[src]
+        # fill ghosts from dense where interior (consistent with exchange)
+        dst = tuple(slice(f * t, (f + 1) * t) for f, t in zip(fidx, loc))
+        for d in range(nd):
+            pass  # ghosts stay zero; exchange() fills them on device
+        out[dst] = block
+    return out
+
+
+def fragments_to_dense(stacked: np.ndarray, topo: ShardTopology, local_cells) -> np.ndarray:
+    """Gather owned entries back into the dense global node array."""
+    g = topo.ghost
+    loc = topo.local_shape(tuple(local_cells))
+    shape = tuple(p * n + 1 for p, n in zip(topo.P, local_cells))
+    dense = np.zeros(shape, stacked.dtype)
+    for fidx in np.ndindex(*topo.P):
+        src = tuple(slice(f * t + g, f * t + g + n + 1) for f, t, n in zip(fidx, loc, local_cells))
+        dst = tuple(slice(f * n, f * n + n + 1) for f, n in zip(fidx, local_cells))
+        dense[dst] = np.asarray(stacked[src])
+    return dense

@@ -1,0 +1,82 @@
+"""Roofline performance model.
+
+Reference: performance/ir/IR_EvaluatePerformanceEstimates.scala:43
+(per-loop-nest estimate from field-access bytes vs FLOPs against the
+Platform hardware model; used there to choose CPU-vs-CUDA execution and
+blocking factors).  Here the same bytes-per-DOF accounting against the
+TPU HBM bandwidth yields the speed-of-light estimate that bench.py
+reports against (`vs_baseline`), and will drive Pallas block-size /
+fusion choices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# per-chip HBM bandwidth (B/s); TPU generations
+HBM_BANDWIDTH = {
+    "v4": 1.2e12,
+    "v5e": 8.19e11,
+    "v5p": 2.765e12,
+    "v6e": 1.64e12,
+    "cpu": 5.0e10,
+}
+
+
+def detect_chip() -> str:
+    import os
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN")
+    if gen:
+        return gen
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+        for key in HBM_BANDWIDTH:
+            if key in kind.replace(" ", ""):
+                return key
+        if "lite" in kind:
+            return "v5e"
+    except Exception:
+        pass
+    return "cpu"
+
+
+@dataclass
+class VCycleTrafficModel:
+    """Ideal HBM bytes per *fine-grid DOF* for one V(pre,post) cycle of a
+    (2d+1)-point multigrid solver, assuming perfect fusion (each array
+    read/written once per pass, neighbor reuse in VMEM).
+
+    Smoother half-sweep (one color): read sol + rhs, write sol = 3 arrays.
+    Residual: read sol + rhs, write res = 3.  Restrict: read res, write
+    coarse rhs (1/2^d).  Prolong+correct: read coarse sol (1/2^d) + sol,
+    write sol.  Convergence check: residual + norm read.
+    """
+
+    ndim: int = 3
+    n_pre: int = 3
+    n_post: int = 3
+    colors: int = 2
+    dtype_bytes: int = 4
+    check_residual: bool = True
+
+    def bytes_per_fine_dof(self) -> float:
+        level_sum = 1.0 / (1.0 - 0.5 ** self.ndim)  # sum over levels of (1/2^d)^l
+        ratio = 0.5 ** self.ndim
+        smoother = (self.n_pre + self.n_post) * self.colors * 3
+        residual = 3
+        restrict = 1 + ratio
+        prolong = 2 + ratio
+        per_level = smoother + residual + restrict + prolong
+        check = (3 + 1) if self.check_residual else 0  # residual + norm read, finest only
+        return (per_level * level_sum + check) * self.dtype_bytes
+
+    def roofline_glups(self, bandwidth: float) -> float:
+        return bandwidth / self.bytes_per_fine_dof() / 1e9
+
+
+def smoother_traffic_bytes(ndim: int, dtype_bytes: int = 4, colors: int = 2) -> float:
+    """Ideal bytes per DOF for one full smoother iteration (all colors)."""
+    return colors * 3 * dtype_bytes

@@ -163,13 +163,21 @@ class Multigrid:
         max_its: int = 128,
         callback: Callable = None,
         jit: bool = True,
+        cycle_fn: Callable = None,
+        res_norm_fn: Callable = None,
     ):
         """Host-driven solve loop matching Solve@finest of the L4 Poisson
         example: compute initial residual, cycle until
         `curRes <= eps * initRes` or `max_its`, with `callback(it, sol,
-        cur_res)` after every cycle (used for residual/error printing)."""
-        cycle = jax.jit(lambda s, r: self.cycle(s, r)) if jit else self.cycle
-        res_norm = jax.jit(lambda s, r: self.res_norm(s, r)) if jit else self.res_norm
+        cur_res)` after every cycle (used for residual/error printing).
+
+        Sharded backends pass pre-wrapped (shard_mapped) `cycle_fn` /
+        `res_norm_fn`; tracing `self.cycle` directly is only valid on the
+        dense single-chip representation."""
+        cycle = cycle_fn or (jax.jit(lambda s, r: self.cycle(s, r)) if jit else self.cycle)
+        res_norm = res_norm_fn or (
+            jax.jit(lambda s, r: self.res_norm(s, r)) if jit else self.res_norm
+        )
 
         init_res = res_norm(sol, rhs)
         cur_res = init_res

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax
 
+# the axon sitecustomize hook sets jax_platforms="axon,cpu" at interpreter
+# start, overriding the env var — force CPU again here (before any backend
+# is initialized)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
