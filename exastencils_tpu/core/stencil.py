@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass, field as dc_field
-from typing import Callable, Dict, Sequence, Tuple, Union
+from typing import Callable, Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax.numpy as jnp
@@ -176,11 +176,15 @@ class IntergridStencil:
     prolongation: fine[j]  += sum over coarse c with j - 2*c - lo in window:
                   w[j - 2*c - lo] * coarse[c]
     (the transpose relation; reference mapping stencils, e.g.
-    NodeRestriction / NodeProlongation in 2D_FD_Poisson_fromL4.exa4)."""
+    NodeRestriction / NodeProlongation in 2D_FD_Poisson_fromL4.exa4).
+
+    `kernels_1d` carries the per-dim factorization when the window is a
+    tensor product — the MXU transfer path (ops/transfer.py) needs it."""
 
     kind: str  # "restriction" | "prolongation"
     weights: np.ndarray  # full ndim weight window
     lo: Tuple[int, ...]  # offset of window element [0,...,0]
+    kernels_1d: Optional[Tuple[Tuple[float, ...], ...]] = None
 
     @property
     def ndim(self) -> int:
@@ -195,24 +199,33 @@ def _tensor_window(kernel_1d: Sequence[float], ndim: int) -> np.ndarray:
     return out
 
 
+def _separable(kind: str, kernel_1d: Sequence[float], lo: int, ndim: int) -> IntergridStencil:
+    return IntergridStencil(
+        kind,
+        _tensor_window(kernel_1d, ndim),
+        (lo,) * ndim,
+        tuple(tuple(float(v) for v in kernel_1d) for _ in range(ndim)),
+    )
+
+
 def node_restriction(ndim: int) -> IntergridStencil:
     """Full weighting [1/4, 1/2, 1/4]^d (reference L3_DefaultRestriction,
     matching NodeRestriction in the L4 Poisson example)."""
-    return IntergridStencil("restriction", _tensor_window([0.25, 0.5, 0.25], ndim), (-1,) * ndim)
+    return _separable("restriction", [0.25, 0.5, 0.25], -1, ndim)
 
 
 def node_prolongation(ndim: int) -> IntergridStencil:
     """Bi/tri-linear interpolation [1/2, 1, 1/2]^d (reference
     L3_DefaultProlongation / NodeProlongation mapping stencil)."""
-    return IntergridStencil("prolongation", _tensor_window([0.5, 1.0, 0.5], ndim), (-1,) * ndim)
+    return _separable("prolongation", [0.5, 1.0, 0.5], -1, ndim)
 
 
 def cell_restriction(ndim: int) -> IntergridStencil:
     """Averaging over the 2^d child cells (reference L3_DefaultRestriction
     cell localization)."""
-    return IntergridStencil("restriction", _tensor_window([0.5, 0.5], ndim), (0,) * ndim)
+    return _separable("restriction", [0.5, 0.5], 0, ndim)
 
 
 def cell_prolongation(ndim: int) -> IntergridStencil:
     """Piecewise-constant injection to child cells."""
-    return IntergridStencil("prolongation", _tensor_window([1.0, 1.0], ndim), (0,) * ndim)
+    return _separable("prolongation", [1.0, 1.0], 0, ndim)

@@ -13,8 +13,8 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
-from typing import Callable, Dict, Optional
+
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 
@@ -23,11 +23,7 @@ from exastencils_tpu.core.domain import Domain, unit_domain
 from exastencils_tpu.core.field import DirichletBC, Field
 from exastencils_tpu.core.grid import NODE, level_grids
 from exastencils_tpu.core.stencil import Stencil, node_prolongation, node_restriction
-from exastencils_tpu.ops.smoothers import make_smoother
-from exastencils_tpu.ops.stencil_apply import apply_stencil
-from exastencils_tpu.solver.krylov import SOLVERS
-from exastencils_tpu.solver.mg import Multigrid, MGLevelOps
-from exastencils_tpu.utils.printing import reduced_prec_str
+from exastencils_tpu.solver.synthesis import Equation, generate_solver
 
 
 def laplace_stencil(ndim: int) -> Stencil:
@@ -130,92 +126,40 @@ class PoissonMGSolver:
             bc={k.maxLevel: DirichletBC(self.bc_fn)}
             | {lvl: DirichletBC(0.0) for lvl in range(k.minLevel, k.maxLevel)},
         )
-        self.residual_f = Field("Residual", self.domain, NODE, bc=DirichletBC(0.0))
         self.rhs_f = Field("RHS", self.domain, NODE, bc=None)
 
-        levels: Dict[int, MGLevelOps] = {}
-        for lvl in range(k.minLevel, k.maxLevel + 1):
-            g = self.grids[lvl]
-            h = self.backend.handle(lvl)
-            A = self.stencil.bind(g)
-            bc_sol = h.bc_applier(self.solution, lvl)
-            bc_res = h.bc_applier(self.residual_f, lvl)
-            smooth = make_smoother(
-                A, bc_sol, exchange=h.exchange, omega=self.omega,
-                coloring=h.color_masks(2),
-            )
-            restrict_fn = prolong_fn = None
-            if lvl > k.minLevel:
-                restrict_fn, prolong_fn = self.backend.transfer_fns(
-                    lvl, self.restrict_op, self.prolong_op
-                )
-            levels[lvl] = MGLevelOps(
-                grid=g,
-                shape=h.work_shape,
-                A_apply=partial(apply_stencil, A),
-                smooth=smooth,
-                bc_sol=bc_sol,
-                bc_res=bc_res,
-                exchange=h.exchange,
-                restrict_fn=restrict_fn,
-                prolong_fn=prolong_fn,
-                dot_fn=h.dot,
-                norm_fn=h.norm_l2,
-            )
-        self.levels = levels
-
-        lv0 = levels[k.minLevel]
-        krylov = SOLVERS[self.cgs]
-
-        def coarse_solve(sol, rhs):
-            return krylov(
-                lambda p: lv0.A_apply(lv0.exchange(p)),
-                sol,
-                rhs,
-                bc_sol=lv0.bc_sol,
-                bc_res=lv0.bc_res,
-                max_its=self.cgs_max_its,
-                res_reduction=self.cgs_res_reduction,
-                dot_fn=lv0.dot_fn,
-                norm_fn=lv0.norm_fn,
-            ).sol
-
-        self.mg = Multigrid(
-            levels=levels,
-            min_level=k.minLevel,
-            max_level=k.maxLevel,
-            coarse_solve=coarse_solve,
-            n_pre=self.n_pre,
-            n_post=self.n_post,
-            cycle_type=k.mg_cycle,
+        # expand `generate solver` (the L3 path the reference used to
+        # produce the very mgCycle functions of the L4 example)
+        self.equation = Equation(self.solution, self.stencil, rhs_fn=self.rhs_fn)
+        self.gen = generate_solver(
+            self.equation,
+            k,
+            self.backend,
+            self.grids,
+            options={
+                "smoother": "RBGS",
+                "smoother_damping": self.omega,
+                "smoother_numPre": self.n_pre,
+                "smoother_numPost": self.n_post,
+                "cgs": self.cgs,
+                "cgs_maxNumIts": self.cgs_max_its,
+                "cgs_targetResReduction": self.cgs_res_reduction,
+            },
+            error_fn=self.exact_fn,
+            restrict_op=self.restrict_op,
+            prolong_op=self.prolong_op,
         )
-
-        # wrapped step functions (shard_mapped on the sharded backend)
-        b = self.backend
-        self._cycle = b.wrap(self.mg.cycle, ("field", "field"), "field")
-        self._res_norm = b.wrap(self.mg.res_norm, ("field", "field"), "scalar")
-        self._err = b.wrap(self._max_error_local, ("field",), "scalar")
+        self.mg = self.gen.mg
+        self.levels = self.mg.levels
+        self._cycle = self.gen._cycle
+        self._res_norm = self.gen._res_norm
+        self._err = self.gen._err
 
     # ------------------------------------------------------------------
     def init_state(self):
         """initFieldsWithZero + InitRHS@finest + apply bc to Solution@finest
         (reference Function Application of the L4 example)."""
-        k = self.knowledge
-        lv = self.levels[k.maxLevel]
-        b = self.backend
-
-        def build():
-            h = b.handle(k.maxLevel)
-            sol = lv.bc_sol(h.zeros(self.dtype))
-            rhs = h.init_field_local(self.rhs_fn, self.dtype)
-            return sol, rhs
-
-        return b.wrap(build, (), ("field", "field"))()
-
-    def _max_error_local(self, sol):
-        h = self.backend.handle(self.knowledge.maxLevel)
-        exact = self.exact_fn(*h.coords())
-        return h.norm_max(sol - exact)
+        return self.gen.init_state()
 
     def max_error(self, sol):
         return self._err(sol)
@@ -231,37 +175,17 @@ class PoissonMGSolver:
         """Host-driven solve with the exact print sequence of Solve@finest
         (initial residual, then per cycle: max error, residual) in
         reduced precision — diffable against Testing/Poisson/*.results."""
-        lines = []
-        emit = out if out is not None else lines.append
-
-        sol, rhs = self.init_state()
-
-        def callback(it, s, cur_res):
-            if print_error:
-                emit(reduced_prec_str(float(self._err(s))))
-            emit(reduced_prec_str(float(cur_res)))
-
-        res0 = self._res_norm(sol, rhs)
-        emit(reduced_prec_str(float(res0)))
-        sol, init_res, cur_res, it = self.mg.solve(
-            sol,
-            rhs,
-            target_res_reduction,
-            max_its,
-            callback,
-            cycle_fn=self._cycle,
-            res_norm_fn=self._res_norm,
+        return self.gen.solve(
+            out=out,
+            max_its=max_its,
+            target_res_reduction=target_res_reduction,
+            print_error=print_error,
         )
-        return sol, lines, float(init_res), float(cur_res), it
 
     # ------------------------------------------------------------------
     def solve_fused(self, max_its: int = 100, target_res_reduction: float = 1e-10):
         """Fully device-resident solve (lax.while_loop, no host sync) —
         the production/benchmark path."""
-        sol, rhs = self.init_state()
-        fused = self.backend.wrap(
-            lambda s, r: self.mg.solve_jit(s, r, target_res_reduction, max_its),
-            ("field", "field"),
-            ("field", "scalar", "scalar", "scalar"),
+        return self.gen.solve_fused(
+            max_its=max_its, target_res_reduction=target_res_reduction
         )
-        return fused(sol, rhs)

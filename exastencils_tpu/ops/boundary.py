@@ -42,20 +42,31 @@ def make_bc_applier(field: Field, grid: LevelGrid, level: int = None) -> Callabl
         return lambda arr: arr
 
     if isinstance(bc, DirichletBC):
+        # precompute values only on the 2*nd boundary *planes* — tiny
+        # constants, unlike a full-grid array which would be baked into
+        # every executable (537 MB at 513^3)
+        plane_values = None
         if callable(bc.value):
+            plane_values = {}
             coords = grid.coord_mesh(NODE)
-            values = bc.value(*coords) + jnp.zeros(grid.shape_of(NODE), grid.dtype)
-        else:
-            values = None  # scalar fast path
+            shape = grid.shape_of(NODE)
+            for d in range(nd):
+                for idx in (0, -1):
+                    pl = _plane(nd, d, idx)
+                    pc = tuple(c[pl] for c in coords)
+                    vals = bc.value(*pc)
+                    plane_values[(d, idx)] = vals + jnp.zeros(
+                        tuple(s for i, s in enumerate(shape) if i != d), grid.dtype
+                    )
 
         def apply_dirichlet(arr):
             for d in range(nd):
                 for idx in (0, -1):
                     pl = _plane(nd, d, idx)
-                    if values is None:
+                    if plane_values is None:
                         arr = arr.at[pl].set(jnp.asarray(bc.value, arr.dtype))
                     else:
-                        arr = arr.at[pl].set(values[pl].astype(arr.dtype))
+                        arr = arr.at[pl].set(plane_values[(d, idx)].astype(arr.dtype))
             return arr
 
         return apply_dirichlet

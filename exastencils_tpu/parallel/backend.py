@@ -32,6 +32,11 @@ from exastencils_tpu.ops.boundary import make_bc_applier
 from exastencils_tpu.ops.reductions import dot as _dot, norm_l2 as _norm_l2, norm_max as _norm_max
 from exastencils_tpu.ops.smoothers import color_mask
 from exastencils_tpu.ops.stencil_apply import prolong as dense_prolong, restrict as dense_restrict
+from exastencils_tpu.ops.transfer import (
+    apply_separable,
+    build_prolong_mats,
+    build_restrict_mats,
+)
 from exastencils_tpu.parallel.topology import ShardTopology
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
@@ -110,10 +115,19 @@ class DenseBackend:
     def transfer_fns(self, fine_level: int, restrict_op: IntergridStencil, prolong_op: IntergridStencil):
         fine = self.handles[fine_level]
         coarse = self.handles[fine_level - 1]
-        return (
-            lambda res: dense_restrict(restrict_op, res, coarse.shape),
-            lambda sol_c: dense_prolong(prolong_op, sol_c, fine.shape),
-        )
+        try:
+            # MXU path: per-dim banded-matrix contractions (ops/transfer.py)
+            r_mats = build_restrict_mats(restrict_op, coarse.shape, fine.shape, coarse.shape)
+            p_mats = build_prolong_mats(prolong_op, fine.shape, coarse.shape, fine.shape)
+            return (
+                lambda res: apply_separable(r_mats, res),
+                lambda sol_c: apply_separable(p_mats, sol_c),
+            )
+        except ValueError:  # non-separable window -> slicing fallback
+            return (
+                lambda res: dense_restrict(restrict_op, res, coarse.shape),
+                lambda sol_c: dense_prolong(prolong_op, sol_c, fine.shape),
+            )
 
     def wrap(self, fn, in_kinds=None, out_kinds=None, donate_argnums=()):
         return jax.jit(fn, donate_argnums=donate_argnums)
@@ -282,39 +296,47 @@ class ShardedBackend:
 
     # ------------------------------------------------------------------
     def transfer_fns(self, fine_level: int, restrict_op: IntergridStencil, prolong_op: IntergridStencil):
+        """Fragment-local transfers as MXU contractions over the padded
+        local arrays: coarse node j reads fine local 2j - g + lo + k
+        (fine ghosts supply fragment-interface values via the preceding
+        halo exchange); ghost output rows are zero."""
         fh = self.handles[fine_level]
         ch = self.handles[fine_level - 1]
         g = self.topo.ghost
         nd = self.topo.ndim
 
-        def restrict_local(res):
-            """coarse[j] = sum W * fine[2j + lo + k] on local nodes, using
-            exchanged fine ghosts at fragment interfaces."""
-            W = restrict_op.weights
-            lo = restrict_op.lo
-            out = None
-            for idx in np.ndindex(*W.shape):
-                w = float(W[idx])
-                if w == 0.0:
-                    continue
-                sl = tuple(
-                    slice(g + lo[d] + idx[d], g + lo[d] + idx[d] + 2 * ch.local_cells[d] + 1, 2)
-                    for d in range(nd)
+        from exastencils_tpu.ops.transfer import (
+            prolongation_matrix_1d,
+            restriction_matrix_1d,
+            separable_kernels,
+        )
+
+        r_kern = separable_kernels(restrict_op)
+        p_kern = separable_kernels(prolong_op)
+        r_mats = [
+            jnp.asarray(
+                restriction_matrix_1d(
+                    r_kern[d], restrict_op.lo[d],
+                    ch.local_cells[d] + 1, fh.local_shape[d], ch.local_shape[d],
+                    ghost_in=g, ghost_out=g,
                 )
-                term = w * res[sl]
-                out = term if out is None else out + term
-            core = out
-            full = jnp.zeros(ch.local_shape, res.dtype)
-            return full.at[tuple(slice(g, g + n + 1) for n in ch.local_cells)].set(core)
-
-        def prolong_local(sol_c):
-            core_c = sol_c[tuple(slice(g, g + n + 1) for n in ch.local_cells)]
-            fine_nodes = tuple(n + 1 for n in fh.local_cells)
-            corr = dense_prolong(prolong_op, core_c, fine_nodes)
-            full = jnp.zeros(fh.local_shape, sol_c.dtype)
-            return full.at[tuple(slice(g, g + n + 1) for n in fh.local_cells)].set(corr)
-
-        return restrict_local, prolong_local
+            )
+            for d in range(nd)
+        ]
+        p_mats = [
+            jnp.asarray(
+                prolongation_matrix_1d(
+                    p_kern[d], prolong_op.lo[d],
+                    fh.local_cells[d] + 1, ch.local_shape[d], fh.local_shape[d],
+                    ghost_in=g, ghost_out=g,
+                )
+            )
+            for d in range(nd)
+        ]
+        return (
+            lambda res: apply_separable(r_mats, res),
+            lambda sol_c: apply_separable(p_mats, sol_c),
+        )
 
     # ------------------------------------------------------------------
     def spec(self):

@@ -34,6 +34,15 @@ def _ident(x):
     return x
 
 
+def _smooth_n(lv, n: int, sol, rhs):
+    """n smoother iterations as a fori_loop — keeps the unrolled V-cycle
+    HLO small (compile time matters on large grids; iterations are
+    sequentially dependent, so nothing is lost to the loop barrier)."""
+    if n <= 1:
+        return lv.smooth(sol, rhs) if n == 1 else sol
+    return lax.fori_loop(0, n, lambda _, s: lv.smooth(s, rhs), sol)
+
+
 @dataclass
 class MGLevelOps:
     """Everything the cycle needs on one level."""
@@ -87,31 +96,41 @@ class Multigrid:
             return self.coarse_solve(sol, rhs)
 
         sol, rhs = self._hook("pre", level, sol, rhs)
-        for _ in range(self.n_pre):
-            sol = lv.smooth(sol, rhs)
+        sol = _smooth_n(lv, self.n_pre, sol, rhs)
 
         res = self.residual(level, sol, rhs)
 
         coarse = self.levels[level - 1]
-        if lv.restrict_fn is not None:
-            rhs_c = lv.restrict_fn(lv.exchange(res))
-        else:
-            rhs_c = restrict(lv.restrict_op, lv.exchange(res), coarse.shape)
 
-        sol_c = coarse.bc_sol(jnp.zeros(coarse.shape, res.dtype))
+        def do_restrict(arr):
+            if lv.restrict_fn is not None:
+                return lv.restrict_fn(lv.exchange(arr))
+            return restrict(lv.restrict_op, lv.exchange(arr), coarse.shape)
+
+        def do_prolong(arr):
+            if lv.prolong_fn is not None:
+                return lv.prolong_fn(coarse.exchange(arr))
+            return prolong(lv.prolong_op, coarse.exchange(arr), lv.shape)
+
+        rhs_c = do_restrict(res)
+        if self.fas:
+            # FAS: tau-corrected coarse problem A_c(u_c) = R r + A_c(R u),
+            # initial guess u_c = R u, correction P(u_c - R u)
+            # (reference solver/l3/L3_SolverForEquation.scala:401-452)
+            sol_c0 = coarse.bc_sol(do_restrict(sol))
+            rhs_c = rhs_c + coarse.A_apply(coarse.exchange(sol_c0))
+            sol_c = sol_c0
+        else:
+            sol_c = coarse.bc_sol(jnp.zeros(coarse.shape, res.dtype))
 
         num_recurse = 2 if (self.cycle_type == "W" and level - 1 > self.min_level) else 1
         for _ in range(num_recurse):
             sol_c = self.cycle(sol_c, rhs_c, level - 1)
 
-        if lv.prolong_fn is not None:
-            corr = lv.prolong_fn(coarse.exchange(sol_c))
-        else:
-            corr = prolong(lv.prolong_op, coarse.exchange(sol_c), lv.shape)
+        corr = do_prolong(sol_c - sol_c0) if self.fas else do_prolong(sol_c)
         sol = lv.bc_sol(sol + corr)
 
-        for _ in range(self.n_post):
-            sol = lv.smooth(sol, rhs)
+        sol = _smooth_n(lv, self.n_post, sol, rhs)
         sol, rhs = self._hook("post", level, sol, rhs)
         return sol
 
