@@ -1,0 +1,849 @@
+"""ExaSlang-4 executor: stages the parsed AST onto the ops/solver layers.
+
+Reference counterpart: the entire L4->IR progression + generated C++
+runtime (app/l4/L4_LayerHandler.scala:100-211, then §3.2's IR pipeline).
+Here an L4 `loop over field` statement becomes whole-array jnp ops with
+color/condition masks, `communicate` becomes the backend's halo
+exchange, reductions become jnp reductions, and mapping-stencil
+convolutions become the MXU inter-grid contractions of ops/transfer.
+
+Execution is eager by default (correctness/golden path); hot functions
+can be jitted per (function, level) via `jit_functions=True` when their
+control flow is static.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from exastencils_tpu.config import Knowledge
+from exastencils_tpu.core.domain import AABB, Domain
+from exastencils_tpu.core.field import DirichletBC, Field, NeumannBC
+from exastencils_tpu.core.grid import CELL, FACES, NODE, LevelGrid, level_grids
+from exastencils_tpu.core.stencil import BoundStencil, IntergridStencil, Stencil
+from exastencils_tpu.dsl import nodes as N
+from exastencils_tpu.ops.boundary import make_bc_applier
+from exastencils_tpu.ops.stencil_apply import apply_stencil
+from exastencils_tpu.ops.transfer import (
+    apply_separable,
+    build_prolong_mats,
+    build_restrict_mats,
+)
+from exastencils_tpu.runtime.timers import TimerRegistry
+from exastencils_tpu.utils.printing import reduced_prec_str
+
+_LOC_MAP = {
+    "Node": NODE, "node": NODE, "Cell": CELL, "cell": CELL,
+    "Face_x": FACES[0], "Face_y": FACES[1], "Face_z": FACES[2],
+}
+
+_MATH_FNS = {
+    "sqrt": jnp.sqrt, "fabs": jnp.abs, "abs": jnp.abs, "sin": jnp.sin,
+    "cos": jnp.cos, "tan": jnp.tan, "sinh": jnp.sinh, "cosh": jnp.cosh,
+    "exp": jnp.exp, "ln": jnp.log, "log": jnp.log, "floor": jnp.floor,
+    "ceil": jnp.ceil, "atan": jnp.arctan, "asin": jnp.arcsin, "acos": jnp.arccos,
+}
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+@dataclass
+class _FieldInfo:
+    name: str
+    localization: str
+    levels: List[int]
+    bc_by_level: Dict[int, object] = dc_field(default_factory=dict)  # BC instances
+    num_slots: int = 1
+    ghost: int = 1
+
+
+@dataclass
+class Frame:
+    vars: Dict[str, object]
+    level: Optional[int]
+
+
+@dataclass
+class _LoopCtx:
+    level: int
+    localization: str
+    shape: Tuple[int, ...]
+    mask: Optional[jnp.ndarray] = None  # color/condition mask
+    reduction: Optional[Tuple[str, str]] = None
+
+
+class L4Executable:
+    """A runnable ExaSlang-4 program."""
+
+    def __init__(
+        self,
+        program: N.Program,
+        knowledge: Knowledge,
+        out=print,
+        timers: Optional[TimerRegistry] = None,
+    ):
+        self.prog = program
+        self.k = knowledge
+        for key, val in program.inline_knowledge.items():
+            knowledge.set(key, val)
+        knowledge.update()
+        self.out = out
+        self.timers = timers or TimerRegistry(knowledge)
+        self.dtype = knowledge.real_dtype
+
+        # --- domain & grids ---
+        if program.domains:
+            d0 = program.domains[0]
+            self.domain = Domain(d0.name, AABB(tuple(d0.lower), tuple(d0.upper)))
+        else:
+            from exastencils_tpu.core.domain import unit_domain
+
+            self.domain = unit_domain(knowledge.dimensionality)
+        self.grids = level_grids(self.domain, knowledge, dtype=self.dtype)
+        self.lo, self.hi = knowledge.minLevel, knowledge.maxLevel
+
+        # --- layouts ---
+        self.layouts = {}
+        for ld in program.layouts:
+            self.layouts[ld.name] = ld
+
+        # --- fields (merge multi-decl level sets) ---
+        self.fields: Dict[str, _FieldInfo] = {}
+        for fd in program.fields:
+            levels = (fd.levels or N.LvlAll()).resolve(self.lo, self.hi)
+            layout = self.layouts.get(fd.layout)
+            loc = _LOC_MAP.get(layout.localization if layout else "Node", NODE)
+            ghost = max(layout.ghost_layers) if layout and layout.ghost_layers else 1
+            info = self.fields.setdefault(
+                fd.name, _FieldInfo(fd.name, loc, [], num_slots=fd.num_slots, ghost=ghost)
+            )
+            info.levels = sorted(set(info.levels) | set(levels))
+            bc = self._make_bc(fd.bc)
+            for lvl in levels:
+                info.bc_by_level[lvl] = bc
+
+        # --- stencils ---
+        self.stencils: Dict[str, Dict[int, object]] = {}
+        for sd in program.stencils:
+            levels = (sd.levels or N.LvlAll()).resolve(self.lo, self.hi)
+            per_level = self.stencils.setdefault(sd.name, {})
+            if sd.entries and isinstance(sd.entries[0], N.StencilMappingEntry):
+                ig = self._mapping_to_intergrid(sd)
+                for lvl in levels:
+                    per_level[lvl] = ig
+            else:
+                core = self._offset_stencil(sd)
+                for lvl in levels:
+                    per_level[lvl] = core.bind(self.grids[lvl])
+
+        # --- functions ---
+        self.functions: Dict[Tuple[str, Optional[int]], N.FunctionDecl] = {}
+        for fn in program.functions:
+            if fn.levels is None:
+                self.functions[(fn.name, None)] = fn
+            else:
+                for lvl in fn.levels.resolve(self.lo, self.hi):
+                    self.functions[(fn.name, lvl)] = fn
+
+        # --- state ---
+        self.state: Dict[Tuple[str, int], jnp.ndarray] = {}
+        self.slot_index: Dict[Tuple[str, int], int] = {}
+        self.globals: Dict[str, object] = {}
+        for g in program.globals_:
+            self.globals[g.name] = (
+                self._eval_const(g.init) if g.init is not None else 0.0
+            )
+        self._bc_appliers: Dict[Tuple[str, int], object] = {}
+        self._transfer_cache: Dict[Tuple, object] = {}
+        self.init_fields_with_zero()
+
+    # ------------------------------------------------------------------
+    # declaration processing helpers
+    def _make_bc(self, bc_expr):
+        if bc_expr is None:
+            return None
+        if isinstance(bc_expr, N.Call) and bc_expr.name == "Neumann":
+            order = int(bc_expr.args[0].value) if bc_expr.args else 2
+            return NeumannBC(order)
+        if isinstance(bc_expr, N.Num):
+            return DirichletBC(float(bc_expr.value))
+
+        def bc_fn(*coords):
+            env = {}
+            for d, c in enumerate(coords):
+                ax = "xyz"[d]
+                env[f"vf_boundaryPosition_{ax}"] = c
+                env[f"vf_boundaryCoord_{ax}"] = c
+                env[f"vf_nodePosition_{ax}"] = c
+                env[f"vf_nodePos_{ax}"] = c
+            return self._eval_const(bc_expr, env)
+
+        return DirichletBC(bc_fn)
+
+    def _offset_stencil(self, sd: N.StencilDecl) -> Stencil:
+        st = Stencil(sd.name)
+        for e in sd.entries:
+            offs = tuple(int(self._eval_const(o)) for o in e.offsets)
+
+            def coef(grid, expr=e.coef):
+                env = {}
+                for d in range(grid.ndim):
+                    ax = "xyz"[d]
+                    env[f"vf_gridWidth_{ax}"] = grid.grid_width(d)
+                env["vf_cellVolume"] = grid.cell_volume
+                return self._eval_const(expr, env)
+
+            st.add_entry(offs, coef)
+        return st
+
+    def _affine_of(self, expr, index_names: List[str]) -> Tuple[np.ndarray, float]:
+        """Evaluate a from-expression as affine in the to-indices."""
+        nd = len(index_names)
+
+        def ev(e):
+            if isinstance(e, N.Num):
+                return np.zeros(nd), float(e.value)
+            if isinstance(e, N.Access) and e.name in index_names:
+                a = np.zeros(nd)
+                a[index_names.index(e.name)] = 1.0
+                return a, 0.0
+            if isinstance(e, N.UnOp) and e.op == "-":
+                a, b = ev(e.operand)
+                return -a, -b
+            if isinstance(e, N.BinOp):
+                a1, b1 = ev(e.lhs)
+                a2, b2 = ev(e.rhs)
+                if e.op == "+":
+                    return a1 + a2, b1 + b2
+                if e.op == "-":
+                    return a1 - a2, b1 - b2
+                if e.op == "*":
+                    if not a1.any():
+                        return b1 * a2, b1 * b2
+                    if not a2.any():
+                        return b2 * a1, b1 * b2
+                if e.op == "/" and not a2.any():
+                    return a1 / b2, b1 / b2
+            raise ValueError(f"mapping expression not affine: {e}")
+
+        return ev(expr)
+
+    def _mapping_to_intergrid(self, sd: N.StencilDecl) -> IntergridStencil:
+        """Recognize 2:1 mapping stencils (reference inter-grid operators):
+        from = 2*i + c  -> restriction window entry at offset c
+        from = (i + c)/2 -> prolongation window entry at offset -c."""
+        entries = []
+        kind = None
+        for e in sd.entries:
+            index_names = e.to_indices
+            nd = len(e.from_exprs)
+            offs = []
+            for d, fe in enumerate(e.from_exprs):
+                a, b = self._affine_of(fe, index_names)
+                coef = a[d]
+                if abs(coef - 2.0) < 1e-12:
+                    this_kind = "restriction"
+                    off = b
+                elif abs(coef - 0.5) < 1e-12:
+                    this_kind = "prolongation"
+                    off = -2.0 * b
+                else:
+                    raise ValueError(f"unsupported mapping coefficient {coef}")
+                if kind is None:
+                    kind = this_kind
+                elif kind != this_kind:
+                    raise ValueError("mixed mapping kinds in one stencil")
+                if abs(off - round(off)) > 1e-12:
+                    raise ValueError("non-integer mapping offset")
+                offs.append(int(round(off)))
+            entries.append((tuple(offs), float(self._eval_const(e.coef))))
+
+        nd = len(entries[0][0])
+        lo = tuple(min(o[d] for o, _ in entries) for d in range(nd))
+        hi = tuple(max(o[d] for o, _ in entries) for d in range(nd))
+        W = np.zeros(tuple(h - l + 1 for l, h in zip(lo, hi)))
+        for off, w in entries:
+            W[tuple(o - l for o, l in zip(off, lo))] += w
+        return IntergridStencil(kind, W, lo)
+
+    # ------------------------------------------------------------------
+    # state management
+    def field_shape(self, name: str, level: int) -> Tuple[int, ...]:
+        return self.grids[level].shape_of(self.fields[name].localization)
+
+    def init_fields_with_zero(self):
+        for info in self.fields.values():
+            for lvl in info.levels:
+                shape = self.grids[lvl].shape_of(info.localization)
+                if info.num_slots > 1:
+                    shape = (info.num_slots,) + shape
+                    self.slot_index[(info.name, lvl)] = 0
+                self.state[(info.name, lvl)] = jnp.zeros(shape, self.dtype)
+
+    def get_field(self, name: str, level: int, slot: Optional[str] = None):
+        info = self.fields[name]
+        arr = self.state[(name, level)]
+        if info.num_slots > 1:
+            idx = self._slot_idx(name, level, slot)
+            return arr[idx]
+        return arr
+
+    def set_field(self, name: str, level: int, value, slot: Optional[str] = None):
+        info = self.fields[name]
+        if info.num_slots > 1:
+            idx = self._slot_idx(name, level, slot)
+            self.state[(name, level)] = self.state[(name, level)].at[idx].set(value)
+        else:
+            self.state[(name, level)] = value
+
+    def _slot_idx(self, name, level, slot):
+        cur = self.slot_index[(name, level)]
+        n = self.fields[name].num_slots
+        if slot in (None, "active", "activeSlot"):
+            return cur
+        if slot in ("next", "nextSlot"):
+            return (cur + 1) % n
+        if slot in ("previous", "previousSlot"):
+            return (cur - 1) % n
+        return int(slot) % n
+
+    def bc_applier(self, name: str, level: int):
+        key = (name, level)
+        if key not in self._bc_appliers:
+            info = self.fields[name]
+            bc = info.bc_by_level.get(level)
+            f = Field(name, self.domain, info.localization, bc=bc)
+            self._bc_appliers[key] = make_bc_applier(f, self.grids[level], level)
+        return self._bc_appliers[key]
+
+    # ------------------------------------------------------------------
+    # constant-expression evaluation (declarations, knowledge conditions)
+    def _eval_const(self, e, env: Optional[dict] = None):
+        env = env or {}
+        if isinstance(e, N.Num):
+            return e.value
+        if isinstance(e, N.Str):
+            return e.value
+        if isinstance(e, N.UnOp):
+            v = self._eval_const(e.operand, env)
+            return -v if e.op == "-" else (not v)
+        if isinstance(e, N.BinOp):
+            a = self._eval_const(e.lhs, env)
+            b = self._eval_const(e.rhs, env)
+            return _apply_binop(e.op, a, b)
+        if isinstance(e, N.Access):
+            if e.name in env:
+                return env[e.name]
+            if e.name == "PI":
+                return math.pi
+            if e.name in self.globals:
+                return self.globals[e.name]
+            raise ValueError(f"cannot evaluate {e.name!r} in constant context")
+        if isinstance(e, N.Call):
+            if e.name in _MATH_FNS:
+                return _MATH_FNS[e.name](self._eval_const(e.args[0], env))
+            if e.name in ("min", "max"):
+                vals = [self._eval_const(a, env) for a in e.args]
+                return (jnp.minimum if e.name == "min" else jnp.maximum)(*vals) if any(
+                    hasattr(v, "shape") and getattr(v, "shape", ()) != () for v in vals
+                ) else (min if e.name == "min" else max)(vals)
+            if e.name == "getKnowledge":
+                return self._get_knowledge(e.args)
+        raise ValueError(f"cannot const-evaluate {e}")
+
+    def _get_knowledge(self, args):
+        key = args[0].value if isinstance(args[0], (N.Str,)) else str(args[0])
+        return getattr(self.k, key)
+
+    # ------------------------------------------------------------------
+    # runtime expression evaluation
+    def eval_expr(self, e, fr: Frame, loop: Optional[_LoopCtx] = None):
+        if isinstance(e, N.Num):
+            return e.value
+        if isinstance(e, N.Str):
+            return e.value
+        if isinstance(e, N.UnOp):
+            v = self.eval_expr(e.operand, fr, loop)
+            if e.op == "-":
+                return -v
+            return jnp.logical_not(v) if hasattr(v, "shape") else (not v)
+        if isinstance(e, N.BinOp):
+            return self._eval_binop(e, fr, loop)
+        if isinstance(e, N.Access):
+            return self._eval_access(e, fr, loop)
+        if isinstance(e, N.Call):
+            return self._eval_call(e, fr, loop)
+        raise ValueError(f"cannot evaluate {e}")
+
+    def _resolve_level(self, spec: Optional[N.LevelSpec], fr: Frame) -> Optional[int]:
+        if spec is None:
+            return fr.level
+        levels = spec.resolve(self.lo, self.hi, fr.level)
+        if len(levels) != 1:
+            raise ValueError(f"ambiguous level {levels} in access")
+        return levels[0]
+
+    def _eval_access(self, e: N.Access, fr: Frame, loop):
+        name = e.name
+        if name in fr.vars:
+            return fr.vars[name]
+        if name == "PI":
+            return math.pi
+        if name in ("i0", "i1", "i2") and loop is not None:
+            d = int(name[1])
+            return (
+                lax.broadcasted_iota(jnp.int32, loop.shape, d)
+                if d < len(loop.shape)
+                else 0
+            )
+        if name.startswith("vf_"):
+            return self._eval_virtual_field(name, fr, loop)
+        if name in self.fields:
+            lvl = self._resolve_level(e.level, fr)
+            arr = self.get_field(name, lvl, e.slot)
+            if e.offset:
+                arr = _shift(arr, e.offset)
+            return arr
+        if name in self.stencils:
+            lvl = self._resolve_level(e.level, fr)
+            return ("__stencil__", self.stencils[name][lvl], lvl)
+        if name in self.globals:
+            return self.globals[name]
+        raise ValueError(f"unknown identifier {name!r}")
+
+    def _eval_virtual_field(self, name: str, fr: Frame, loop):
+        lvl = loop.level if loop is not None else fr.level
+        grid = self.grids[lvl]
+        loc = loop.localization if loop is not None else NODE
+        if name.endswith(("_x", "_y", "_z")):
+            d = "xyz".index(name[-1])
+            base = name[:-2]
+        else:
+            d = None
+            base = name
+        if base in ("vf_gridWidth",):
+            return grid.grid_width(d)
+        if base == "vf_cellVolume":
+            return grid.cell_volume
+        if base in ("vf_nodePosition", "vf_nodePos"):
+            coords = grid.coord_mesh(NODE if loc == NODE else loc)
+            return coords[d]
+        if base in ("vf_cellCenter", "vf_cellCen"):
+            c = grid.cell_center_1d(d)
+            shape = [1] * grid.ndim
+            shape[d] = c.shape[0]
+            return c.reshape(shape)
+        if base in ("vf_boundaryPosition", "vf_boundaryCoord"):
+            coords = grid.coord_mesh(loc)
+            return coords[d]
+        raise ValueError(f"unsupported virtual field {name!r}")
+
+    def _eval_binop(self, e: N.BinOp, fr: Frame, loop):
+        lhs = self.eval_expr(e.lhs, fr, loop)
+        if e.op == "*" and isinstance(lhs, tuple) and lhs and lhs[0] == "__stencil__":
+            _, st, st_level = lhs
+            if not isinstance(e.rhs, N.Access) or e.rhs.name not in self.fields:
+                raise ValueError("stencil * expr requires a field operand")
+            f_level = self._resolve_level(e.rhs.level, fr)
+            arr = self.get_field(e.rhs.name, f_level, e.rhs.slot)
+            if isinstance(st, BoundStencil):
+                return apply_stencil(st, arr)
+            return self._intergrid_apply(st, arr, f_level, loop)
+        rhs = self.eval_expr(e.rhs, fr, loop)
+        if isinstance(rhs, tuple) and rhs and rhs[0] == "__stencil__":
+            raise ValueError("stencil must be the left operand of *")
+        return _apply_binop(e.op, lhs, rhs)
+
+    def _intergrid_apply(self, ig: IntergridStencil, arr, f_level: int, loop):
+        if loop is None:
+            raise ValueError("inter-grid convolution outside a loop")
+        out_level = loop.level
+        out_shape = loop.shape
+        key = (id(ig), f_level, out_level, out_shape, arr.shape)
+        if key not in self._transfer_cache:
+            if out_level < f_level:
+                mats = build_restrict_mats(ig, out_shape, arr.shape, out_shape)
+            elif out_level > f_level:
+                mats = build_prolong_mats(ig, out_shape, arr.shape, out_shape)
+            else:
+                raise ValueError("mapping stencil applied at equal levels")
+            self._transfer_cache[key] = mats
+        return apply_separable(self._transfer_cache[key], arr)
+
+    def _eval_call(self, e: N.Call, fr: Frame, loop):
+        name = e.name
+        if name in _MATH_FNS:
+            return _MATH_FNS[name](self.eval_expr(e.args[0], fr, loop))
+        if name in ("min", "max"):
+            vals = [self.eval_expr(a, fr, loop) for a in e.args]
+            f = jnp.minimum if name == "min" else jnp.maximum
+            out = vals[0]
+            for v in vals[1:]:
+                out = f(out, v)
+            return out
+        if name == "pow":
+            return self.eval_expr(e.args[0], fr, loop) ** self.eval_expr(e.args[1], fr, loop)
+        if name == "diag":
+            st = self.eval_expr(e.args[0], fr, loop)
+            if isinstance(st, tuple) and st[0] == "__stencil__":
+                return st[1].diag()
+            raise ValueError("diag() expects a stencil")
+        if name == "getKnowledge":
+            return self._get_knowledge(e.args)
+        if name == "print":
+            vals = [self.eval_expr(a, fr, loop) for a in e.args]
+            self.out(" ".join(_fmt(v) for v in vals))
+            return None
+        if name == "printWithReducedPrec":
+            v = float(self.eval_expr(e.args[0], fr, loop))
+            self.out(reduced_prec_str(v, self.k.testing_maxPrecision, self.k.testing_zeroThreshold))
+            return None
+        if name == "startTimer":
+            self.timers.start(str(self.eval_expr(e.args[0], fr, loop)))
+            return None
+        if name == "stopTimer":
+            self.timers.stop(str(self.eval_expr(e.args[0], fr, loop)))
+            return None
+        if name in ("printAllTimers",):
+            self.timers.print_all(self.out)
+            return None
+        if name in ("printAllTimersToFile",):
+            return None
+        if name in ("getTotalTime", "getTotalFromTimer"):
+            return self.timers.get_total_time(str(self.eval_expr(e.args[0], fr, loop)))
+        if name in ("getMeanTime", "getMeanFromTimer"):
+            return self.timers.get_mean_time(str(self.eval_expr(e.args[0], fr, loop)))
+        if name == "initFieldsWithZero":
+            self.init_fields_with_zero()
+            return None
+        if name in (
+            "initGlobals", "initDomain", "initGeometry", "destroyGlobals",
+            "initFragments",
+        ):
+            return None
+        if name == "writeField":
+            from exastencils_tpu.runtime.fieldio import write_field
+
+            path = str(self.eval_expr(e.args[0], fr, loop))
+            acc = e.args[1]
+            write_field(path, self.get_field(acc.name, self._resolve_level(acc.level, fr)))
+            return None
+        if name == "readField":
+            from exastencils_tpu.runtime.fieldio import read_field
+
+            path = str(self.eval_expr(e.args[0], fr, loop))
+            acc = e.args[1]
+            lvl = self._resolve_level(acc.level, fr)
+            cur = self.get_field(acc.name, lvl)
+            self.set_field(acc.name, lvl, read_field(path, like=cur))
+            return None
+        if name == "printField":
+            from exastencils_tpu.runtime.fieldio import print_field
+
+            path = str(self.eval_expr(e.args[0], fr, loop))
+            acc = e.args[1]
+            print_field(path, self.get_field(acc.name, self._resolve_level(acc.level, fr)))
+            return None
+        if name == "printVtk":
+            from exastencils_tpu.runtime.vtk import print_vtk
+
+            path = str(self.eval_expr(e.args[0], fr, loop))
+            acc = e.args[1]
+            lvl = self._resolve_level(acc.level, fr)
+            print_vtk(path, {acc.name: self.get_field(acc.name, lvl)}, self.grids[lvl],
+                      self.fields[acc.name].localization)
+            return None
+        # user function
+        lvl = self._resolve_level(e.level, fr) if e.level is not None else fr.level
+        fkey = (name, lvl) if (name, lvl) in self.functions else (name, None)
+        if fkey in self.functions:
+            args = [self.eval_expr(a, fr, loop) for a in e.args]
+            return self.call_function(self.functions[fkey], lvl, args)
+        raise ValueError(f"unknown function {name!r}")
+
+    # ------------------------------------------------------------------
+    def call_function(self, fn: N.FunctionDecl, level: Optional[int], args):
+        fr = Frame(dict(zip((p[0] for p in fn.params), args)), level)
+        try:
+            self.exec_block(fn.body, fr)
+        except _Return as r:
+            return r.value
+        return None
+
+    def run(self, function: str = "Application"):
+        """Execute `Function Application` (reference main(), §3.3)."""
+        fkey = (function, None)
+        if fkey not in self.functions:
+            candidates = [k for k in self.functions if k[0] == function]
+            if not candidates:
+                raise ValueError(f"no function {function!r}")
+            fkey = candidates[0]
+        return self.call_function(self.functions[fkey], fkey[1], [])
+
+    # ------------------------------------------------------------------
+    # statements
+    def exec_block(self, stmts: List[N.Stmt], fr: Frame, loop=None):
+        for s in stmts:
+            self.exec_stmt(s, fr, loop)
+
+    def exec_stmt(self, s: N.Stmt, fr: Frame, loop: Optional[_LoopCtx] = None):
+        if isinstance(s, N.VarDecl):
+            fr.vars[s.name] = (
+                self.eval_expr(s.init, fr, loop) if s.init is not None else 0.0
+            )
+        elif isinstance(s, N.Assign):
+            self._exec_assign(s, fr, loop)
+        elif isinstance(s, N.If):
+            cond = self.eval_expr(s.cond, fr, loop)
+            if bool(cond):
+                self.exec_block(s.then_body, fr, loop)
+            else:
+                self.exec_block(s.else_body, fr, loop)
+        elif isinstance(s, N.RepeatTimes):
+            n = int(self.eval_expr(s.count, fr, loop))
+            for it in range(n):
+                if s.count_var is not None:
+                    fr.vars[s.count_var] = it
+                try:
+                    self.exec_block(s.body, fr, loop)
+                except _Break:
+                    break
+                if s.count_var is not None:
+                    fr.vars[s.count_var] = it + 1
+        elif isinstance(s, N.RepeatUntil):
+            while True:
+                cond = bool(self.eval_expr(s.cond, fr, loop))
+                if s.is_while and not cond:
+                    break
+                if (not s.is_while) and cond:
+                    break
+                try:
+                    self.exec_block(s.body, fr, loop)
+                except _Break:
+                    break
+        elif isinstance(s, N.LoopOverField):
+            self._exec_loop(s, fr)
+        elif isinstance(s, N.LoopOverFragments):
+            self.exec_block(s.body, fr, loop)
+        elif isinstance(s, N.ColorWith):
+            self._exec_color(s, fr)
+        elif isinstance(s, N.Communicate):
+            pass  # dense backend: halo exchange is a no-op; sharded DSL exec TBD
+        elif isinstance(s, N.ApplyBC):
+            lvl = self._resolve_level(s.field.level, fr)
+            arr = self.get_field(s.field.name, lvl, s.field.slot)
+            self.set_field(s.field.name, lvl, self.bc_applier(s.field.name, lvl)(arr), s.field.slot)
+        elif isinstance(s, N.Advance):
+            lvl = self._resolve_level(s.field.level, fr)
+            key = (s.field.name, lvl)
+            self.slot_index[key] = (self.slot_index[key] + 1) % self.fields[s.field.name].num_slots
+        elif isinstance(s, N.Return):
+            raise _Return(self.eval_expr(s.value, fr, loop) if s.value is not None else None)
+        elif isinstance(s, N.Break):
+            raise _Break()
+        elif isinstance(s, N.ExprStmt):
+            self.eval_expr(s.expr, fr, loop)
+        else:
+            raise ValueError(f"cannot execute {s}")
+
+    def _exec_assign(self, s: N.Assign, fr: Frame, loop):
+        t = s.target
+        if t.name in self.fields:
+            lvl = self._resolve_level(t.level, fr)
+            loc = self.fields[t.name].localization
+            sub = _LoopCtx(lvl, loc, self.field_shape(t.name, lvl),
+                           mask=loop.mask if loop and loop.level == lvl else None)
+            val = self.eval_expr(s.value, fr, sub)
+            cur = self.get_field(t.name, lvl, t.slot)
+            new = _apply_assign(s.op, cur, val)
+            if sub.mask is not None:
+                new = jnp.where(sub.mask, new, cur)
+            self.set_field(t.name, lvl, new, t.slot)
+            return
+        # scalar variable (possibly a reduction accumulator)
+        cur_env = fr.vars if t.name in fr.vars else (
+            self.globals if t.name in self.globals else fr.vars
+        )
+        if loop is not None and loop.reduction and t.name == loop.reduction[1]:
+            self._exec_reduction_assign(s, fr, loop, cur_env)
+            return
+        val = self.eval_expr(s.value, fr, loop)
+        cur_env[t.name] = _apply_assign(s.op, cur_env.get(t.name, 0.0), val)
+
+    def _exec_reduction_assign(self, s: N.Assign, fr: Frame, loop: _LoopCtx, env):
+        """`redvar += expr` / `redvar = max(redvar, expr)` inside a
+        reduction loop -> whole-array reduce then scalar combine."""
+        op, var = loop.reduction
+        if s.op == "+=":
+            arr = self.eval_expr(s.value, fr, loop)
+            red = jnp.sum(jnp.where(loop.mask, arr, 0)) if loop.mask is not None else jnp.sum(arr)
+            env[var] = env.get(var, 0.0) + red
+            return
+        if s.op == "*=":
+            arr = self.eval_expr(s.value, fr, loop)
+            env[var] = env.get(var, 1.0) * jnp.prod(arr)
+            return
+        if s.op == "=" and isinstance(s.value, N.Call) and s.value.name in ("min", "max"):
+            others = [a for a in s.value.args
+                      if not (isinstance(a, N.Access) and a.name == var)]
+            arrs = [self.eval_expr(a, fr, loop) for a in others]
+            f_el = jnp.minimum if s.value.name == "min" else jnp.maximum
+            f_red = jnp.min if s.value.name == "min" else jnp.max
+            combined = arrs[0]
+            for a in arrs[1:]:
+                combined = f_el(combined, a)
+            if loop.mask is not None:
+                fill = jnp.inf if s.value.name == "min" else -jnp.inf
+                combined = jnp.where(loop.mask, combined, fill)
+            env[var] = f_el(env.get(var, 0.0), f_red(combined))
+            return
+        raise ValueError(f"unsupported reduction statement {s}")
+
+    def _exec_loop(self, s: N.LoopOverField, fr: Frame, color_ctx=None):
+        lvl = self._resolve_level(s.field.level, fr)
+        info = self.fields[s.field.name]
+        shape = self.field_shape(s.field.name, lvl)
+        loop = _LoopCtx(lvl, info.localization, shape, reduction=s.reduction)
+        if color_ctx is not None:
+            loop.mask = color_ctx
+        if s.condition is not None:
+            cond = self.eval_expr(s.condition, fr, loop)
+            loop.mask = cond if loop.mask is None else jnp.logical_and(loop.mask, cond)
+        if s.region is not None:
+            rmask = self._region_mask(s, shape)
+            loop.mask = rmask if loop.mask is None else jnp.logical_and(loop.mask, rmask)
+        if s.reduction is not None:
+            op, var = s.reduction
+            fr.vars.setdefault(var, 0.0)
+        self.exec_block(s.body, fr, loop)
+
+    def _region_mask(self, s: N.LoopOverField, shape):
+        region, rdir = s.region
+        nd = len(shape)
+        masks = []
+        if region == "inner":
+            m = jnp.ones(shape, bool)
+            for d in range(nd):
+                i = lax.broadcasted_iota(jnp.int32, shape, d)
+                m = jnp.logical_and(m, jnp.logical_and(i > 0, i < shape[d] - 1))
+            return m
+        # dup/ghost boundary regions: the outermost plane in direction rdir
+        m = jnp.ones(shape, bool)
+        if rdir is not None:
+            for d, dirval in enumerate(rdir):
+                i = lax.broadcasted_iota(jnp.int32, shape, d)
+                if dirval < 0:
+                    m = jnp.logical_and(m, i == 0)
+                elif dirval > 0:
+                    m = jnp.logical_and(m, i == shape[d] - 1)
+        else:
+            border = jnp.zeros(shape, bool)
+            for d in range(nd):
+                i = lax.broadcasted_iota(jnp.int32, shape, d)
+                border = jnp.logical_or(
+                    border, jnp.logical_or(i == 0, i == shape[d] - 1)
+                )
+            m = border
+        return m
+
+    def _exec_color(self, s: N.ColorWith, fr: Frame):
+        """`color with { expr % n, stmts }`: run stmts once per color with
+        the parity mask applied to contained field loops."""
+        if not (isinstance(s.colors, N.BinOp) and s.colors.op == "%"):
+            raise ValueError("color expression must be `expr % n`")
+        n = int(self._eval_const(s.colors.rhs))
+        for c in range(n):
+            self._color_current = (s.colors.lhs, n, c)
+            for stmt in s.body:
+                if isinstance(stmt, N.LoopOverField):
+                    lvl = self._resolve_level(stmt.field.level, fr)
+                    info = self.fields[stmt.field.name]
+                    shape = self.field_shape(stmt.field.name, lvl)
+                    lctx = _LoopCtx(lvl, info.localization, shape)
+                    idx = self.eval_expr(s.colors.lhs, fr, lctx)
+                    mask = (idx % n) == c
+                    self._exec_loop(stmt, fr, color_ctx=mask)
+                else:
+                    self.exec_stmt(stmt, fr)
+            self._color_current = None
+
+
+def _apply_binop(op, a, b):
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b
+    if op == "%":
+        return a % b
+    if op == "**":
+        return a ** b
+    if op == "==":
+        return a == b
+    if op == "!=":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    if op == "&&":
+        return jnp.logical_and(a, b) if hasattr(a, "shape") or hasattr(b, "shape") else (a and b)
+    if op == "||":
+        return jnp.logical_or(a, b) if hasattr(a, "shape") or hasattr(b, "shape") else (a or b)
+    raise ValueError(f"unknown operator {op}")
+
+
+def _apply_assign(op, cur, val):
+    if op == "=":
+        return val if not hasattr(cur, "shape") else jnp.broadcast_to(
+            jnp.asarray(val, cur.dtype), cur.shape
+        )
+    if op == "+=":
+        return cur + val
+    if op == "-=":
+        return cur - val
+    if op == "*=":
+        return cur * val
+    if op == "/=":
+        return cur / val
+    raise ValueError(f"unknown assign op {op}")
+
+
+def _shift(arr, offset):
+    """Field access with constant offset: zero-padded shifted view."""
+    r = max(abs(o) for o in offset)
+    if r == 0:
+        return arr
+    xp = jnp.pad(arr, r)
+    sl = tuple(slice(r + o, r + o + n) for o, n in zip(offset, arr.shape))
+    return xp[sl]
+
+
+def _fmt(v) -> str:
+    if isinstance(v, str):
+        return v
+    f = float(v)
+    if f == int(f) and abs(f) < 1e15 and isinstance(v, (int,)):
+        return str(int(f))
+    return repr(f)

@@ -1,0 +1,343 @@
+"""AST node classes for ExaSlang 4.
+
+Reference: the node packages {base,baseExt,field,operator,...}/l4 — here
+a compact dataclass tree; the interpreter (dsl/interpreter.py) stages it
+onto the ops/solver layers instead of progressing to a C++ IR.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional, Tuple, Union
+
+
+# ---------------- level specifications (parsers/l4/L4_Parser.scala:118-168)
+
+
+class LevelSpec:
+    def resolve(self, min_level: int, max_level: int, current: Optional[int] = None) -> List[int]:
+        raise NotImplementedError
+
+
+@dataclass
+class LvlAll(LevelSpec):
+    def resolve(self, lo, hi, current=None):
+        return list(range(lo, hi + 1))
+
+
+@dataclass
+class LvlSingle(LevelSpec):
+    level: int
+
+    def resolve(self, lo, hi, current=None):
+        return [self.level]
+
+
+@dataclass
+class LvlFinest(LevelSpec):
+    offset: int = 0
+
+    def resolve(self, lo, hi, current=None):
+        return [hi + self.offset]
+
+
+@dataclass
+class LvlCoarsest(LevelSpec):
+    offset: int = 0
+
+    def resolve(self, lo, hi, current=None):
+        return [lo + self.offset]
+
+
+@dataclass
+class LvlRelative(LevelSpec):
+    delta: int  # @coarser = -1, @finer = +1, @current = 0, @current+n
+
+    def resolve(self, lo, hi, current=None):
+        if current is None:
+            raise ValueError("relative level outside a leveled context")
+        return [current + self.delta]
+
+
+@dataclass
+class LvlRange(LevelSpec):
+    lo_spec: LevelSpec
+    hi_spec: LevelSpec
+
+    def resolve(self, lo, hi, current=None):
+        a = self.lo_spec.resolve(lo, hi, current)[0]
+        b = self.hi_spec.resolve(lo, hi, current)[0]
+        return list(range(a, b + 1))
+
+
+@dataclass
+class LvlList(LevelSpec):
+    specs: List[LevelSpec]
+
+    def resolve(self, lo, hi, current=None):
+        out = []
+        for s in self.specs:
+            out.extend(s.resolve(lo, hi, current))
+        return sorted(set(out))
+
+
+@dataclass
+class LvlAllBut(LevelSpec):
+    base: LevelSpec
+    excluded: LevelSpec
+
+    def resolve(self, lo, hi, current=None):
+        ex = set(self.excluded.resolve(lo, hi, current))
+        return [l for l in self.base.resolve(lo, hi, current) if l not in ex]
+
+
+# ---------------- expressions
+
+
+class Expr:
+    pass
+
+
+@dataclass
+class Num(Expr):
+    value: float
+    is_int: bool = False
+
+
+@dataclass
+class Str(Expr):
+    value: str
+
+
+@dataclass
+class BinOp(Expr):
+    op: str
+    lhs: Expr
+    rhs: Expr
+
+
+@dataclass
+class UnOp(Expr):
+    op: str
+    operand: Expr
+
+
+@dataclass
+class Access(Expr):
+    """Identifier access: variable, field, stencil or virtual field —
+    resolved at execution time.  Carries optional @level, [offset] and
+    <slot> modifiers (L4_Parser field/stencil access productions)."""
+
+    name: str
+    level: Optional[LevelSpec] = None
+    offset: Optional[Tuple[int, ...]] = None
+    slot: Optional[str] = None  # 'active' | 'next' | 'previous' | int as str
+    component: Optional[Tuple[int, ...]] = None  # matrix/vector component
+
+
+@dataclass
+class Call(Expr):
+    name: str
+    level: Optional[LevelSpec]
+    args: List[Expr]
+
+
+# ---------------- statements
+
+
+class Stmt:
+    pass
+
+
+@dataclass
+class VarDecl(Stmt):
+    name: str
+    datatype: str
+    init: Optional[Expr]
+    is_val: bool = False
+
+
+@dataclass
+class Assign(Stmt):
+    target: Access
+    op: str  # '=', '+=', '-=', '*=', '/='
+    value: Expr
+
+
+@dataclass
+class If(Stmt):
+    cond: Expr
+    then_body: List[Stmt]
+    else_body: List[Stmt] = dc_field(default_factory=list)
+
+
+@dataclass
+class RepeatTimes(Stmt):
+    count: Expr
+    body: List[Stmt]
+    count_var: Optional[str] = None
+    contraction: Optional[Tuple[int, ...]] = None
+
+
+@dataclass
+class RepeatUntil(Stmt):
+    cond: Expr
+    body: List[Stmt]
+    is_while: bool = False  # while = check before, until = check before w/ negation
+
+
+@dataclass
+class LoopOverField(Stmt):
+    field: Access
+    body: List[Stmt]
+    region: Optional[Tuple[str, Optional[Tuple[int, ...]]]] = None  # ('ghost'|'dup'|'inner', dir)
+    on_boundary: bool = False
+    reduction: Optional[Tuple[str, str]] = None  # (op, var)
+    condition: Optional[Expr] = None
+    sequentially: bool = False
+    starting: Optional[Tuple[int, ...]] = None
+    ending: Optional[Tuple[int, ...]] = None
+    stepping: Optional[Tuple[int, ...]] = None
+
+
+@dataclass
+class LoopOverFragments(Stmt):
+    body: List[Stmt]
+    reduction: Optional[Tuple[str, str]] = None
+
+
+@dataclass
+class ColorWith(Stmt):
+    colors: Expr  # expression of the form f(i0..) % n
+    body: List[Stmt]
+
+
+@dataclass
+class Communicate(Stmt):
+    field: Access
+    op: str = "both"  # 'begin' | 'finish' | 'both'
+    targets: List[str] = dc_field(default_factory=list)  # 'all' | 'dup' | 'ghost'
+
+
+@dataclass
+class ApplyBC(Stmt):
+    field: Access
+
+
+@dataclass
+class Advance(Stmt):
+    field: Access
+
+
+@dataclass
+class Return(Stmt):
+    value: Optional[Expr] = None
+
+
+@dataclass
+class Break(Stmt):
+    pass
+
+
+@dataclass
+class ExprStmt(Stmt):
+    expr: Expr
+
+
+@dataclass
+class SolveLocally(Stmt):
+    """`solve locally [with jacobi] [relax w] { u => eq ... }`
+    (L4_Parser.scala:333-334; Vanka building block)."""
+
+    unknowns: List[Access]
+    equations: List[Tuple[Expr, Expr]]  # lhs == rhs per unknown
+    jacobi_type: bool = False
+    relax: Optional[Expr] = None
+
+
+# ---------------- declarations
+
+
+@dataclass
+class DomainDecl:
+    name: str
+    lower: List[float]
+    upper: List[float]
+
+
+@dataclass
+class LayoutDecl:
+    name: str
+    datatype: str
+    localization: str
+    levels: Optional[LevelSpec]
+    dup_layers: Optional[Tuple[int, ...]] = None
+    dup_comm: bool = False
+    ghost_layers: Optional[Tuple[int, ...]] = None
+    ghost_comm: bool = False
+    inner_points: Optional[Tuple[int, ...]] = None
+
+
+@dataclass
+class FieldDecl:
+    name: str
+    domain: str
+    layout: str
+    bc: Optional[Expr]  # None | expr | Call('Neumann', order)
+    levels: Optional[LevelSpec]
+    num_slots: int = 1
+
+
+@dataclass
+class StencilOffsetEntry:
+    offsets: List[Expr]
+    coef: Expr
+
+
+@dataclass
+class StencilMappingEntry:
+    to_indices: List[str]  # e.g. ['i0', 'i1']
+    from_exprs: List[Expr]
+    coef: Expr
+
+
+@dataclass
+class StencilDecl:
+    name: str
+    levels: Optional[LevelSpec]
+    entries: List[Union[StencilOffsetEntry, StencilMappingEntry]]
+
+
+@dataclass
+class StencilFieldDecl:
+    name: str
+    field: str
+    stencil: str
+    levels: Optional[LevelSpec]
+
+
+@dataclass
+class FunctionDecl:
+    name: str
+    levels: Optional[LevelSpec]
+    params: List[Tuple[str, str]]  # (name, type)
+    rettype: str
+    body: List[Stmt]
+    noinline: bool = False
+
+
+@dataclass
+class GlobalsDecl:
+    decls: List[VarDecl]
+
+
+@dataclass
+class Program:
+    domains: List[DomainDecl] = dc_field(default_factory=list)
+    layouts: List[LayoutDecl] = dc_field(default_factory=list)
+    fields: List[FieldDecl] = dc_field(default_factory=list)
+    stencils: List[StencilDecl] = dc_field(default_factory=list)
+    stencil_fields: List[StencilFieldDecl] = dc_field(default_factory=list)
+    functions: List[FunctionDecl] = dc_field(default_factory=list)
+    globals_: List[VarDecl] = dc_field(default_factory=list)
+    inline_knowledge: dict = dc_field(default_factory=dict)
