@@ -136,19 +136,28 @@ class L4Executable:
             for lvl in levels:
                 info.bc_by_level[lvl] = bc
 
-        # --- stencils ---
+        # --- stencils (bound lazily: coefficients may reference fields,
+        # the reference's stencil-field case IR_StencilField.scala) ---
         self.stencils: Dict[str, Dict[int, object]] = {}
+        self._stencil_cache: Dict[Tuple[str, int], object] = {}
         for sd in program.stencils:
             levels = (sd.levels or N.LvlAll()).resolve(self.lo, self.hi)
             per_level = self.stencils.setdefault(sd.name, {})
-            if sd.entries and isinstance(sd.entries[0], N.StencilMappingEntry):
+            if isinstance(sd, N.StencilFromDefault):
+                from exastencils_tpu.solver.synthesis import default_transfer_ops
+
+                loc = _LOC_MAP.get(sd.localization, NODE)
+                r_ig, p_ig = default_transfer_ops(loc, self.k.dimensionality)
+                ig = r_ig if sd.kind == "restriction" else p_ig
+                for lvl in levels:
+                    per_level[lvl] = ig
+            elif sd.entries and isinstance(sd.entries[0], N.StencilMappingEntry):
                 ig = self._mapping_to_intergrid(sd)
                 for lvl in levels:
                     per_level[lvl] = ig
             else:
-                core = self._offset_stencil(sd)
                 for lvl in levels:
-                    per_level[lvl] = core.bind(self.grids[lvl])
+                    per_level[lvl] = ("__decl__", sd)
 
         # --- functions ---
         self.functions: Dict[Tuple[str, Optional[int]], N.FunctionDecl] = {}
@@ -179,6 +188,8 @@ class L4Executable:
         if isinstance(bc_expr, N.Call) and bc_expr.name == "Neumann":
             order = int(bc_expr.args[0].value) if bc_expr.args else 2
             return NeumannBC(order)
+        if isinstance(bc_expr, N.Access) and bc_expr.name == "Neumann":
+            return NeumannBC(2)
         if isinstance(bc_expr, N.Num):
             return DirichletBC(float(bc_expr.value))
 
@@ -321,6 +332,36 @@ class L4Executable:
             return (cur - 1) % n
         return int(slot) % n
 
+    def _stencil_at(self, name: str, level: int):
+        """Resolve a stencil at a level; offset stencils are bound lazily
+        so field-valued coefficients read the *current* field state."""
+        entry = self.stencils[name][level]
+        if not (isinstance(entry, tuple) and entry and entry[0] == "__decl__"):
+            return entry  # IntergridStencil
+        key = (name, level)
+        if key in self._stencil_cache:
+            return self._stencil_cache[key]
+        sd = entry[1]
+        grid = self.grids[level]
+        offsets, coefs = [], []
+        cacheable = True
+        env = {}
+        for d in range(grid.ndim):
+            ax = "xyz"[d]
+            env[f"vf_gridWidth_{ax}"] = grid.grid_width(d)
+        env["vf_cellVolume"] = grid.cell_volume
+        for e in sd.entries:
+            offsets.append(tuple(int(self._eval_const(o)) for o in e.offsets))
+            try:
+                coefs.append(self._eval_const(e.coef, env))
+            except ValueError:
+                cacheable = False
+                coefs.append(self.eval_expr(e.coef, Frame({}, level), None))
+        st = BoundStencil(sd.name, tuple(offsets), tuple(coefs))
+        if cacheable:
+            self._stencil_cache[key] = st
+        return st
+
     def bc_applier(self, name: str, level: int):
         key = (name, level)
         if key not in self._bc_appliers:
@@ -412,18 +453,41 @@ class L4Executable:
             )
         if name.startswith("vf_"):
             return self._eval_virtual_field(name, fr, loop)
+        if name == "levels":
+            return self._resolve_level(e.level, fr)
         if name in self.fields:
             lvl = self._resolve_level(e.level, fr)
             arr = self.get_field(name, lvl, e.slot)
-            if e.offset:
-                arr = _shift(arr, e.offset)
-            return arr
+            return self._to_loop_space(arr, e.offset, loop)
         if name in self.stencils:
             lvl = self._resolve_level(e.level, fr)
-            return ("__stencil__", self.stencils[name][lvl], lvl)
+            return ("__stencil__", self._stencil_at(name, lvl), lvl)
         if name in self.globals:
             return self.globals[name]
         raise ValueError(f"unknown identifier {name!r}")
+
+    def _to_loop_space(self, arr, offset, loop):
+        """Map a field array into the current loop's index space:
+        out[i] = arr[i + offset], zero beyond bounds.  Handles mixed
+        localizations on staggered grids (shapes differ by +-1 per dim,
+        reference field accesses with offsets like `u@[1,0]`)."""
+        if loop is None:
+            return arr if not offset else _shift(arr, offset)
+        shape = loop.shape
+        if arr.shape == tuple(shape) and not offset:
+            return arr
+        if len(arr.shape) != len(shape) or any(
+            abs(a - b) > 1 for a, b in zip(arr.shape, shape)
+        ):
+            return arr if not offset else _shift(arr, offset)  # cross-level etc.
+        off = offset or (0,) * len(shape)
+        lo_pad = [max(0, -o) for o in off]
+        hi_pad = [max(0, o + shape[d] - arr.shape[d]) for d, o in enumerate(off)]
+        if any(lo_pad) or any(hi_pad):
+            arr = jnp.pad(arr, tuple(zip(lo_pad, hi_pad)))
+        return arr[tuple(
+            slice(o + lo_pad[d], o + lo_pad[d] + shape[d]) for d, o in enumerate(off)
+        )]
 
     def _eval_virtual_field(self, name: str, fr: Frame, loop):
         lvl = loop.level if loop is not None else fr.level
@@ -452,20 +516,87 @@ class L4Executable:
             return coords[d]
         raise ValueError(f"unsupported virtual field {name!r}")
 
+    def _padded_operand(self, name: str, level: int, arr, r: int):
+        """Pad a stencil operand with bc-consistent virtual ghosts
+        (reference: `apply bc` materializes ghost layers for cell/face
+        fields — boundary/ir/IR_DirichletBC order-2 interpolation
+        `ghost = 2*g - inner`, IR_NeumannBC order-1 mirror; node fields
+        and physical-boundary comm ghosts stay zero)."""
+        info = self.fields[name]
+        bc = info.bc_by_level.get(level)
+        loc = info.localization
+        nd = arr.ndim
+        if r == 0:
+            return arr
+        if loc == NODE or bc is None or not isinstance(bc, (NeumannBC, DirichletBC)):
+            return jnp.pad(arr, r)
+        if isinstance(bc, NeumannBC):
+            return jnp.pad(arr, r, mode="edge")
+        # Dirichlet on cell/face: along the face dim DOFs sit on the
+        # boundary (ghost beyond stays zero); along cell dims
+        # ghost = 2*g_wall - inner
+        face_dim = FACES.index(loc) if loc in FACES else None
+        grid = self.grids[level]
+        xp = jnp.pad(arr, r, mode="edge")
+        coords = grid.coord_mesh(loc)
+        for d in range(nd):
+            if d == face_dim:
+                for side in (0, 1):
+                    for gi in range(r):
+                        idx = gi if side == 0 else xp.shape[d] - 1 - gi
+                        pl = tuple(idx if i == d else slice(None) for i in range(nd))
+                        xp = xp.at[pl].set(0.0)
+                continue
+            lo_coord = grid.domain.aabb.lower[d]
+            hi_coord = grid.domain.aabb.upper[d]
+            for side in (0, 1):
+                wall = lo_coord if side == 0 else hi_coord
+                edge_idx = 0 if side == 0 else arr.shape[d] - 1
+                pl_edge = tuple(edge_idx if i == d else slice(None) for i in range(nd))
+                edge_vals = arr[pl_edge]
+                if callable(bc.value):
+                    pc = []
+                    for i, c in enumerate(coords):
+                        if i == d:
+                            pc.append(jnp.asarray(wall, grid.dtype))
+                        else:
+                            # drop the (size-1) dim d so the coord
+                            # broadcasts over the wall plane
+                            pc.append(
+                                c[tuple(0 if j == d else slice(None) for j in range(nd))]
+                            )
+                    gvals = bc.value(*pc)
+                else:
+                    gvals = bc.value
+                ghost = 2.0 * gvals - edge_vals
+                for gi in range(r):
+                    idx = (r - 1 - gi) if side == 0 else xp.shape[d] - r + gi
+                    pl = tuple(idx if i == d else slice(r, r + arr.shape[i]) for i in range(nd))
+                    xp = xp.at[pl].set(jnp.broadcast_to(ghost, arr[pl_edge].shape).astype(xp.dtype))
+        return xp
+
     def _eval_binop(self, e: N.BinOp, fr: Frame, loop):
         lhs = self.eval_expr(e.lhs, fr, loop)
-        if e.op == "*" and isinstance(lhs, tuple) and lhs and lhs[0] == "__stencil__":
+        if e.op == "*" and _is_stencil(lhs):
             _, st, st_level = lhs
             if not isinstance(e.rhs, N.Access) or e.rhs.name not in self.fields:
-                raise ValueError("stencil * expr requires a field operand")
+                # stencil * stencil -> composition; stencil * scalar -> scale
+                rhs = self.eval_expr(e.rhs, fr, loop)
+                if _is_stencil(rhs):
+                    raise ValueError("stencil-stencil products need bound stencils")
+                return ("__stencil__", _scale_stencil(st, rhs), st_level)
             f_level = self._resolve_level(e.rhs.level, fr)
             arr = self.get_field(e.rhs.name, f_level, e.rhs.slot)
             if isinstance(st, BoundStencil):
-                return apply_stencil(st, arr)
+                xp = self._padded_operand(e.rhs.name, f_level, arr, st.radius)
+                conv = apply_stencil(st, xp, padded_radius=st.radius, out_shape=arr.shape)
+                return self._to_loop_space(conv, e.rhs.offset, loop)
             return self._intergrid_apply(st, arr, f_level, loop)
         rhs = self.eval_expr(e.rhs, fr, loop)
-        if isinstance(rhs, tuple) and rhs and rhs[0] == "__stencil__":
-            raise ValueError("stencil must be the left operand of *")
+        if _is_stencil(rhs):
+            if e.op == "*":
+                return ("__stencil__", _scale_stencil(rhs[1], lhs), rhs[2])
+            raise ValueError(f"cannot apply {e.op} to a stencil")
         return _apply_binop(e.op, lhs, rhs)
 
     def _intergrid_apply(self, ig: IntergridStencil, arr, f_level: int, loop):
@@ -504,6 +635,8 @@ class L4Executable:
             raise ValueError("diag() expects a stencil")
         if name == "getKnowledge":
             return self._get_knowledge(e.args)
+        if name == "levels":
+            return self._resolve_level(e.level, fr)
         if name == "print":
             vals = [self.eval_expr(a, fr, loop) for a in e.args]
             self.out(" ".join(_fmt(v) for v in vals))
@@ -597,14 +730,30 @@ class L4Executable:
     # ------------------------------------------------------------------
     # statements
     def exec_block(self, stmts: List[N.Stmt], fr: Frame, loop=None):
-        for s in stmts:
-            self.exec_stmt(s, fr, loop)
+        """Execute statements with C++-style block scoping: Var/Val
+        declarations die (and stop shadowing outer names) at block exit."""
+        shadowed = {}
+        declared = set()
+        try:
+            for s in stmts:
+                if isinstance(s, N.VarDecl) and s.name not in declared:
+                    declared.add(s.name)
+                    if s.name in fr.vars:
+                        shadowed[s.name] = fr.vars[s.name]
+                self.exec_stmt(s, fr, loop)
+        finally:
+            for name in declared:
+                if name in shadowed:
+                    fr.vars[name] = shadowed[name]
+                else:
+                    fr.vars.pop(name, None)
 
     def exec_stmt(self, s: N.Stmt, fr: Frame, loop: Optional[_LoopCtx] = None):
         if isinstance(s, N.VarDecl):
-            fr.vars[s.name] = (
-                self.eval_expr(s.init, fr, loop) if s.init is not None else 0.0
-            )
+            val = self.eval_expr(s.init, fr, loop) if s.init is not None else 0.0
+            if s.datatype in ("Int", "Integer") and not hasattr(val, "shape"):
+                val = int(val)
+            fr.vars[s.name] = val
         elif isinstance(s, N.Assign):
             self._exec_assign(s, fr, loop)
         elif isinstance(s, N.If):
@@ -641,6 +790,15 @@ class L4Executable:
             self.exec_block(s.body, fr, loop)
         elif isinstance(s, N.ColorWith):
             self._exec_color(s, fr)
+        elif isinstance(s, N.RepeatWith):
+            for cond in s.conditions:
+                self._exec_masked_block(cond, s.body, fr)
+        elif isinstance(s, N.LevelScope):
+            levels = s.levels.resolve(self.lo, self.hi, fr.level)
+            if fr.level in levels:
+                self.exec_block(s.body, fr, loop)
+        elif isinstance(s, N.SolveLocally):
+            self._exec_solve_locally(s, fr, loop)
         elif isinstance(s, N.Communicate):
             pass  # dense backend: halo exchange is a no-op; sharded DSL exec TBD
         elif isinstance(s, N.ApplyBC):
@@ -767,19 +925,191 @@ class L4Executable:
             raise ValueError("color expression must be `expr % n`")
         n = int(self._eval_const(s.colors.rhs))
         for c in range(n):
-            self._color_current = (s.colors.lhs, n, c)
-            for stmt in s.body:
-                if isinstance(stmt, N.LoopOverField):
-                    lvl = self._resolve_level(stmt.field.level, fr)
-                    info = self.fields[stmt.field.name]
-                    shape = self.field_shape(stmt.field.name, lvl)
-                    lctx = _LoopCtx(lvl, info.localization, shape)
-                    idx = self.eval_expr(s.colors.lhs, fr, lctx)
-                    mask = (idx % n) == c
-                    self._exec_loop(stmt, fr, color_ctx=mask)
-                else:
-                    self.exec_stmt(stmt, fr)
-            self._color_current = None
+            cond = N.BinOp("==", N.BinOp("%", s.colors.lhs, N.Num(n, True)), N.Num(c, True))
+            self._exec_masked_block(cond, s.body, fr)
+
+    def _exec_masked_block(self, cond_expr: N.Expr, body: List[N.Stmt], fr: Frame):
+        """Run statements with `cond_expr` (over loop index grids) masking
+        each contained field loop (color with / repeat with)."""
+        for stmt in body:
+            if isinstance(stmt, N.LoopOverField):
+                lvl = self._resolve_level(stmt.field.level, fr)
+                info = self.fields[stmt.field.name]
+                shape = self.field_shape(stmt.field.name, lvl)
+                lctx = _LoopCtx(lvl, info.localization, shape)
+                mask = self.eval_expr(cond_expr, fr, lctx)
+                mask = jnp.broadcast_to(mask, shape)
+                self._exec_loop(stmt, fr, color_ctx=mask)
+            else:
+                self.exec_stmt(stmt, fr)
+
+    def _exec_solve_locally(self, s: N.SolveLocally, fr: Frame, loop: _LoopCtx):
+        """Per-point block solve (reference solver/ir/IR_LocalSolve.scala:38,
+        the Vanka building block): unknowns are (field, offset) DOFs
+        around the loop point (e.g. the 5 velocity/pressure DOFs of a
+        staggered Stokes cell); neighbors outside the block are fixed.
+        All points solve their n x n center system simultaneously as a
+        batched dense solve (MXU) followed by the relaxed masked update."""
+        if loop is None:
+            raise ValueError("solve locally outside a loop")
+        nd = len(loop.shape)
+        unknowns = [
+            (u.name, self._resolve_level(u.level, fr), tuple(u.offset or (0,) * nd))
+            for u in s.unknowns
+        ]
+        n = len(unknowns)
+        relax = float(self.eval_expr(s.relax, fr, loop)) if s.relax is not None else 1.0
+        dtype = self.dtype
+        shape = loop.shape
+
+        rows = []
+        Dm = []
+        for (lhs, rhs) in s.equations:
+            r = self.eval_expr(rhs, fr, loop) - self.eval_expr(lhs, fr, loop)
+            rows.append(jnp.broadcast_to(jnp.asarray(r, dtype), shape))
+            coefs = self._block_coefs(lhs, unknowns, fr, loop)
+            Dm.append([jnp.broadcast_to(jnp.asarray(c, dtype), shape) for c in coefs])
+
+        # unknowns on the physical boundary (Dirichlet DOFs) get identity
+        # rows: delta = 0, value kept for `apply bc` (reference
+        # IR_LocalDirectInvert.scala:80-99, IR_IsValidComputationPoint)
+        for j, (nm, lvl, off) in enumerate(unknowns):
+            valid = self._valid_dof_mask(nm, lvl, off, shape)
+            if valid is None:
+                continue
+            rows[j] = jnp.where(valid, rows[j], 0.0)
+            for jj in range(n):
+                ident = 1.0 if jj == j else 0.0
+                Dm[j][jj] = jnp.where(valid, Dm[j][jj], ident)
+
+        D = jnp.stack([jnp.stack(row, axis=-1) for row in Dm], axis=-2)  # (..., eq, unk)
+        rv = jnp.stack(rows, axis=-1)[..., None]  # (..., eq, 1)
+        delta = jnp.linalg.solve(D, rv)[..., 0]  # (..., unk)
+
+        for j, (nm, lvl, off) in enumerate(unknowns):
+            cur = self.get_field(nm, lvl)
+            upd = relax * delta[..., j]
+            if loop.mask is not None:
+                upd = jnp.where(loop.mask, upd, 0)
+            if cur.shape == tuple(shape) and not any(off):
+                self.set_field(nm, lvl, cur + upd)
+            else:
+                sls = tuple(slice(o, o + shape[d]) for d, o in enumerate(off))
+                self.set_field(nm, lvl, cur.at[sls].add(upd))
+
+    def _valid_dof_mask(self, name: str, lvl: int, off, shape):
+        """False where the DOF (field, offset) sits on a physical-boundary
+        Dirichlet plane (reference IR_IsValidComputationPoint)."""
+        info = self.fields[name]
+        if not isinstance(info.bc_by_level.get(lvl), DirichletBC):
+            return None
+        loc = info.localization
+        if loc == CELL:
+            return None
+        field_shape = self.field_shape(name, lvl)
+        nd = len(shape)
+        dims = list(range(nd)) if loc == NODE else [FACES.index(loc)]
+        m = None
+        for d in dims:
+            i = lax.broadcasted_iota(jnp.int32, shape, d) + (off[d] if off else 0)
+            ok = jnp.logical_and(i > 0, i < field_shape[d] - 1)
+            m = ok if m is None else jnp.logical_and(m, ok)
+        return m
+
+    def _block_coefs(self, expr: N.Expr, unknowns, fr: Frame, loop):
+        """Coefficient of each block unknown (field, offset) in one local
+        equation: for a term `S@[off_f] * F@[off_f]`, unknown (F, off_u)
+        couples with S.coef[off_u - off_f] (staggered index algebra)."""
+        nd = len(loop.shape)
+        coefs = [0.0] * len(unknowns)
+        unk_fields = {nm for nm, _, _ in unknowns}
+
+        def refs_unknown(e) -> bool:
+            if isinstance(e, N.Access):
+                return e.name in unk_fields
+            if isinstance(e, N.BinOp):
+                return refs_unknown(e.lhs) or refs_unknown(e.rhs)
+            if isinstance(e, N.UnOp):
+                return refs_unknown(e.operand)
+            if isinstance(e, N.Call):
+                return any(refs_unknown(a) for a in e.args)
+            return False
+
+        def add_field_term(acc: N.Access, factor, mult):
+            """factor: None (plain access), scalar/array, or stencil marker."""
+            off_f = tuple(acc.offset or (0,) * nd)
+            lvl_f = self._resolve_level(acc.level, fr)
+            for j, (nm, lvl, off_u) in enumerate(unknowns):
+                if nm != acc.name or lvl != lvl_f:
+                    continue
+                if factor is not None and _is_stencil(factor):
+                    st = factor[1]
+                    delta = tuple(a - b for a, b in zip(off_u, off_f))
+                    cmap = dict(zip(st.offsets, st.coefs))
+                    if delta in cmap:
+                        coefs[j] = coefs[j] + mult * cmap[delta]
+                elif off_u == off_f:
+                    coefs[j] = coefs[j] + mult * (1.0 if factor is None else factor)
+
+        def walk(e, mult):
+            if isinstance(e, N.BinOp) and e.op == "+":
+                walk(e.lhs, mult)
+                walk(e.rhs, mult)
+                return
+            if isinstance(e, N.BinOp) and e.op == "-":
+                walk(e.lhs, mult)
+                walk(e.rhs, -1.0 * mult)
+                return
+            if isinstance(e, N.UnOp) and e.op == "-":
+                walk(e.operand, -1.0 * mult)
+                return
+            if isinstance(e, N.Access) and e.name in unk_fields:
+                add_field_term(e, None, mult)
+                return
+            if isinstance(e, N.BinOp) and e.op == "*":
+                if (
+                    isinstance(e.rhs, N.Access)
+                    and e.rhs.name in unk_fields
+                    and not refs_unknown(e.lhs)
+                ):
+                    add_field_term(e.rhs, self.eval_expr(e.lhs, fr, loop), mult)
+                    return
+                if not refs_unknown(e.lhs):
+                    walk(e.rhs, mult * self._as_scalar(e.lhs, fr, loop))
+                    return
+                if not refs_unknown(e.rhs):
+                    walk(e.lhs, mult * self._as_scalar(e.rhs, fr, loop))
+                    return
+            if not refs_unknown(e):
+                return  # constant term: no center dependence
+            raise ValueError(f"solve locally: cannot linearize {e}")
+
+        walk(expr, 1.0)
+        return coefs
+
+    def _as_scalar(self, e, fr, loop):
+        v = self.eval_expr(e, fr, loop)
+        if _is_stencil(v):
+            raise ValueError("unexpected stencil factor")
+        return v
+
+
+def _is_stencil(v) -> bool:
+    return isinstance(v, tuple) and len(v) == 3 and v[0] == "__stencil__"
+
+
+def _scale_stencil(st, s):
+    """Scalar * stencil (reference IR_StencilOps.scale)."""
+    if isinstance(st, BoundStencil):
+        return BoundStencil(st.name, st.offsets, tuple(c * s for c in st.coefs))
+    if isinstance(st, IntergridStencil):
+        kernels = None
+        if st.kernels_1d is not None:
+            kernels = (tuple(v * s for v in st.kernels_1d[0]),) + tuple(
+                st.kernels_1d[1:]
+            )
+        return IntergridStencil(st.kind, st.weights * s, st.lo, kernels)
+    raise TypeError(f"cannot scale {st!r}")
 
 
 def _apply_binop(op, a, b):

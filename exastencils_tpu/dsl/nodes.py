@@ -213,6 +213,24 @@ class ColorWith(Stmt):
 
 
 @dataclass
+class RepeatWith(Stmt):
+    """`repeat with { cond0, cond1, ..., stmts }` — run the body once per
+    condition, masking contained field loops (L4_Parser.scala:337)."""
+
+    conditions: List[Expr]
+    body: List[Stmt]
+
+
+@dataclass
+class LevelScope(Stmt):
+    """`@finest { ... }` — statements executed only on matching levels
+    (L4 leveled scopes)."""
+
+    levels: "LevelSpec"
+    body: List[Stmt]
+
+
+@dataclass
 class Communicate(Stmt):
     field: Access
     op: str = "both"  # 'begin' | 'finish' | 'both'
@@ -306,6 +324,18 @@ class StencilDecl:
     name: str
     levels: Optional[LevelSpec]
     entries: List[Union[StencilOffsetEntry, StencilMappingEntry]]
+
+
+@dataclass
+class StencilFromDefault:
+    """`Stencil id from default restriction|prolongation on <loc> with
+    '<interp>'` (reference L3_DefaultRestriction/Prolongation)."""
+
+    name: str
+    kind: str  # 'restriction' | 'prolongation'
+    localization: str
+    interpolation: str
+    levels: Optional[LevelSpec] = None
 
 
 @dataclass

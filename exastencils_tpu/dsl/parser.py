@@ -262,9 +262,21 @@ class L4Parser:
         ts.expect("keyword", "Stencil")
         name = ts.expect("ident").value
         levels = self.maybe_level()
+        if ts.accept("keyword", "from"):
+            # `Stencil id from default restriction on Cell with 'linear'`
+            ts.expect("ident", "default")
+            kind = ts.next().value  # restriction | prolongation
+            ts.expect("keyword", "on")
+            loc = ts.next().value
+            ts.expect("keyword", "with")
+            interp = ts.expect("string").value
+            if levels is None:
+                levels = self.maybe_level()
+            return N.StencilFromDefault(name, kind, loc, interp, levels)
         entries = []
         ts.expect("op", "{")
         while not ts.at("op", "}"):
+            ts.accept("op", ",")
             ts.expect("op", "[")
             first_exprs = [self.parse_expr()]
             while ts.accept("op", ","):
@@ -366,11 +378,12 @@ class L4Parser:
 
     def parse_var_decl(self) -> N.VarDecl:
         ts = self.ts
-        is_val = ts.cur.value == "Val"
-        ts.next()  # Var | Val
+        kw = ts.next().value  # Var | Val | Expr
+        is_val = kw in ("Val", "Expr")
         name = ts.expect("ident").value
-        ts.expect("op", ":")
-        dtype = self.parse_datatype()
+        dtype = "Real"
+        if ts.accept("op", ":"):
+            dtype = self.parse_datatype()
         init = None
         if ts.accept("op", "="):
             init = self.parse_expr()
@@ -379,7 +392,7 @@ class L4Parser:
     def parse_statement(self) -> N.Stmt:
         ts = self.ts
         t = ts.cur
-        if t.value in ("Var", "Val"):
+        if t.value in ("Var", "Val", "Expr"):
             return self.parse_var_decl()
         if t.value == "if":
             return self.parse_if()
@@ -418,6 +431,11 @@ class L4Parser:
             return N.ColorWith(colors, body)
         if t.value == "solve":
             return self.parse_solve_locally()
+        if t.kind == "op" and t.value == "@":
+            ts.next()
+            spec = self.parse_level_spec_after_at()
+            body = self.parse_block()
+            return N.LevelScope(spec, body)
         # assignment or expression statement
         return self.parse_assign_or_call()
 
@@ -439,6 +457,28 @@ class L4Parser:
     def parse_repeat(self) -> N.Stmt:
         ts = self.ts
         ts.expect("keyword", "repeat")
+        if ts.accept("keyword", "with"):
+            # `repeat with { cond0, cond1, ..., stmts }` (L4_Parser.scala:337)
+            ts.expect("op", "{")
+            conds = []
+            while True:
+                save = ts.i
+                try:
+                    e = self.parse_expr()
+                    if ts.at("op", ","):
+                        ts.next()
+                        conds.append(e)
+                        continue
+                    ts.i = save
+                    break
+                except SyntaxError:
+                    ts.i = save
+                    break
+            body = []
+            while not ts.at("op", "}"):
+                body.append(self.parse_statement())
+            ts.expect("op", "}")
+            return N.RepeatWith(conds, body)
         if ts.accept("keyword", "until"):
             cond = self.parse_expr()
             body = self.parse_block()
@@ -550,19 +590,13 @@ class L4Parser:
         while not ts.at("op", "}"):
             u = self.parse_access()
             ts.expect("op", "=>")
-            lhs = self.parse_expr_until_eq()
-            ts.expect("op", "=")
-            if ts.at("op", "="):
-                ts.next()
-            rhs = self.parse_expr()
+            eq = self.parse_expr()  # `lhs == rhs` parses as one comparison
+            if not (isinstance(eq, N.BinOp) and eq.op == "=="):
+                raise self.err("solve locally equation must be `lhs == rhs`")
             unknowns.append(u)
-            equations.append((lhs, rhs))
+            equations.append((eq.lhs, eq.rhs))
         ts.expect("op", "}")
         return N.SolveLocally(unknowns, equations, jac, relax)
-
-    def parse_expr_until_eq(self) -> N.Expr:
-        # equations are written `lhs == rhs`; parse_expr stops before '=='
-        return self.parse_expr(no_compare=True)
 
     def parse_assign_or_call(self) -> N.Stmt:
         ts = self.ts
@@ -586,14 +620,14 @@ class L4Parser:
 
     def parse_or(self, stop_gt=False, no_compare=False) -> N.Expr:
         lhs = self.parse_and(stop_gt, no_compare)
-        while self.ts.at("op", "||"):
+        while self.ts.at("op", "||") or self.ts.at("ident", "or"):
             self.ts.next()
             lhs = N.BinOp("||", lhs, self.parse_and(stop_gt, no_compare))
         return lhs
 
     def parse_and(self, stop_gt=False, no_compare=False) -> N.Expr:
         lhs = self.parse_compare(stop_gt, no_compare)
-        while self.ts.at("op", "&&"):
+        while self.ts.at("op", "&&") or self.ts.at("keyword", "and"):
             self.ts.next()
             lhs = N.BinOp("&&", lhs, self.parse_compare(stop_gt, no_compare))
         return lhs
@@ -667,10 +701,21 @@ class L4Parser:
         raise self.err("expected expression")
 
     def parse_access(self, allow_call: bool = False) -> N.Expr:
-        """ident [@lvl] [<slot>] [( args )] [[offsets]]"""
+        """ident [@lvl | @[offset]] [<slot>] [( args )] [[offsets]]"""
         ts = self.ts
         name = ts.next().value
-        level = self.maybe_level()
+        level = None
+        offset0 = None
+        if ts.at("op", "@"):
+            if ts.peek().value == "[":
+                ts.next()
+                offset0 = self.parse_int_list()
+            else:
+                ts.next()
+                level = self.parse_level_spec_after_at()
+                if ts.at("op", "@") and ts.peek().value == "[":
+                    ts.next()
+                    offset0 = self.parse_int_list()
         slot = None
         if ts.at("op", "<") and self._looks_like_slot():
             ts.next()
@@ -685,8 +730,8 @@ class L4Parser:
                     break
             ts.expect("op", ")")
             return N.Call(name, level, args)
-        offset = None
-        if ts.at("op", "[") and self._looks_like_offset():
+        offset = offset0
+        if offset is None and ts.at("op", "[") and self._looks_like_offset():
             offset = self.parse_int_list()
         return N.Access(name, level, offset, slot)
 

@@ -38,7 +38,38 @@ def make_bc_applier(field: Field, grid: LevelGrid, level: int = None) -> Callabl
         return lambda arr: arr
 
     if field.localization != NODE:
-        # FV-style bc handled at stencil-construction time (ghost folding)
+        # cell dims are handled by virtual-ghost folding at stencil-apply
+        # time; Face_d fields additionally have on-boundary DOF planes
+        # along d that Dirichlet must set (staggered Stokes velocities)
+        from exastencils_tpu.core.grid import FACES
+
+        if field.localization in FACES and isinstance(bc, DirichletBC):
+            fd = FACES.index(field.localization)
+            if callable(bc.value):
+                coords = grid.coord_mesh(field.localization)
+                shape = grid.shape_of(field.localization)
+
+                def apply_face_dirichlet(arr):
+                    for idx in (0, -1):
+                        pl = _plane(nd, fd, idx)
+                        pc = tuple(c[pl] for c in coords)
+                        vals = bc.value(*pc) + jnp.zeros(
+                            tuple(s for i, s in enumerate(shape) if i != fd),
+                            grid.dtype,
+                        )
+                        arr = arr.at[pl].set(vals.astype(arr.dtype))
+                    return arr
+
+                return apply_face_dirichlet
+
+            def apply_face_dirichlet_const(arr):
+                for idx in (0, -1):
+                    arr = arr.at[_plane(nd, fd, idx)].set(
+                        jnp.asarray(bc.value, arr.dtype)
+                    )
+                return arr
+
+            return apply_face_dirichlet_const
         return lambda arr: arr
 
     if isinstance(bc, DirichletBC):

@@ -24,17 +24,40 @@ import jax.numpy as jnp
 from exastencils_tpu.core.stencil import BoundStencil, IntergridStencil
 
 
-def apply_stencil(st: BoundStencil, x: jnp.ndarray, pad_value: float = 0.0) -> jnp.ndarray:
-    """out[i] = sum_k c_k * x[i + off_k] over the full array, reading
-    zero-valued ghosts outside (see module docstring)."""
+def apply_stencil(
+    st: BoundStencil,
+    x: jnp.ndarray,
+    pad_value: float = 0.0,
+    pad_mode: str = "constant",
+    padded_radius: int = None,
+    out_shape: Tuple[int, ...] = None,
+) -> jnp.ndarray:
+    """out[i] = sum_k c_k * x[i + off_k] over the full array.
+
+    pad_mode encodes the virtual-ghost boundary treatment of the operand
+    field: 'constant' (zero ghosts, the default node-field semantics) or
+    'edge' (mirrored ghosts = zero-flux Neumann for cell fields,
+    reference boundary/ir ghost extrapolation).  When the caller already
+    supplies a ghost-padded operand (bc-aware folding), pass
+    `padded_radius` and the unpadded `out_shape`."""
+    if len(st.offsets) == 1 and st.radius == 0:
+        return st.coefs[0] * (
+            x if padded_radius is None else x[tuple(slice(padded_radius, padded_radius + n) for n in out_shape)]
+        )
     r = st.radius
-    if r == 0:
-        (c0,) = st.coefs
-        return c0 * x
-    xp = jnp.pad(x, r, constant_values=pad_value)
+    if padded_radius is None:
+        if pad_mode == "constant":
+            xp = jnp.pad(x, r, constant_values=pad_value)
+        else:
+            xp = jnp.pad(x, r, mode=pad_mode)
+        shape = x.shape
+    else:
+        assert padded_radius >= r
+        xp, shape = x, tuple(out_shape)
+        r = padded_radius
     out = None
     for off, c in st.items():
-        sl = tuple(slice(r + o, r + o + n) for o, n in zip(off, x.shape))
+        sl = tuple(slice(r + o, r + o + n) for o, n in zip(off, shape))
         term = c * xp[sl]
         out = term if out is None else out + term
     return out
