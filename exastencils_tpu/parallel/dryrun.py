@@ -24,17 +24,18 @@ def _factor2d(n: int):
 def run_dryrun(n_devices: int) -> None:
     import os
 
-    devices = jax.devices()
-    if len(devices) < n_devices:
-        # the axon sitecustomize hook forces jax_platforms="axon,cpu"
-        # (single TPU); retry on the virtual-device CPU platform
+    if n_devices > 1 and not os.environ.get("EXATPU_DRYRUN_REAL_DEVICES"):
+        # Switch to the virtual-device CPU platform BEFORE any backend is
+        # initialized: the axon sitecustomize hook forces
+        # jax_platforms="axon,cpu" (single TPU), and once jax.devices()
+        # has run the platform can no longer change.
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count={n_devices}"
             ).strip()
         jax.config.update("jax_platforms", "cpu")
-        devices = jax.devices()
+    devices = jax.devices()
     if len(devices) < n_devices:
         raise RuntimeError(
             f"need {n_devices} devices, have {len(devices)} "

@@ -38,8 +38,12 @@ def _smooth_n(lv, n: int, sol, rhs):
     """n smoother iterations as a fori_loop — keeps the unrolled V-cycle
     HLO small (compile time matters on large grids; iterations are
     sequentially dependent, so nothing is lost to the loop barrier)."""
-    if n <= 1:
-        return lv.smooth(sol, rhs) if n == 1 else sol
+    if n <= 0:
+        return sol
+    if lv.smooth_n is not None:
+        return lv.smooth_n(n, sol, rhs)
+    if n == 1:
+        return lv.smooth(sol, rhs)
     return lax.fori_loop(0, n, lambda _, s: lv.smooth(s, rhs), sol)
 
 
@@ -60,6 +64,9 @@ class MGLevelOps:
     prolong_fn: Optional[Callable] = None
     dot_fn: Callable = dot
     norm_fn: Callable = norm_l2
+    # fused n-iteration smoother (Pallas temporal-blocking kernel, the
+    # analog of the reference's IR_ContractingLoop); overrides `smooth`
+    smooth_n: Optional[Callable] = None  # (n, sol, rhs) -> sol
 
 
 @dataclass

@@ -224,6 +224,19 @@ def generate_solver(
         smooth = make_smoother(
             A, bc_sol, exchange=h.exchange, omega=omega, coloring=coloring
         )
+        smooth_n = None
+        if (
+            k.tpu_use_pallas
+            and not backend.is_sharded
+            and nd == 3
+            and num_colors == 2
+            and smoother_kind in ("RBGS", "GaussSeidel", "GS")
+        ):
+            from exastencils_tpu.ops.pallas import make_fused_smoother_3d
+
+            smooth_n = make_fused_smoother_3d(
+                A, u, lvl, h.work_shape, omega, num_colors
+            )
         restrict_fn = prolong_fn = None
         if lvl > k.minLevel:
             restrict_fn, prolong_fn = backend.transfer_fns(lvl, restrict_op, prolong_op)
@@ -239,6 +252,7 @@ def generate_solver(
             prolong_fn=prolong_fn,
             dot_fn=h.dot,
             norm_fn=h.norm_l2,
+            smooth_n=smooth_n,
         )
 
     lv0 = levels[k.minLevel]

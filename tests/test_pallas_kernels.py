@@ -1,0 +1,88 @@
+"""Parity tests: Pallas streaming kernels vs the jnp reference ops.
+
+The jnp implementations (ops/smoothers.py, ops/stencil_apply.py) are the
+always-correct reference path (the analog of the reference's host code
+next to CUDA kernels, parallelization/api/cuda/); every Pallas kernel
+must match them bit-for-bit in structure (same update formula and
+Gauss-Seidel ordering), so tolerances here are tight.  Kernels run in
+interpreter mode on the CPU test backend (the reference tests CUDA
+codegen on CPU hosts the same way, Testing/CUDA/*)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from exastencils_tpu.core.stencil import BoundStencil
+from exastencils_tpu.ops.pallas.stream3d import (
+    pallas_applicable_3d,
+    rbgs_fused_3d,
+)
+from exastencils_tpu.ops.smoothers import color_mask, jacobi_update
+
+
+def star3d(h=0.1):
+    offsets = [(0, 0, 0)]
+    coefs = [6.0 / h**2]
+    for d in range(3):
+        for s in (-1, 1):
+            off = [0, 0, 0]
+            off[d] = s
+            offsets.append(tuple(off))
+            coefs.append(-1.0 / h**2)
+    return BoundStencil("L", tuple(offsets), tuple(coefs))
+
+
+def boundary_mask(shape):
+    m = np.zeros(shape, bool)
+    for d in range(len(shape)):
+        sl = [slice(None)] * len(shape)
+        sl[d] = 0
+        m[tuple(sl)] = True
+        sl[d] = -1
+        m[tuple(sl)] = True
+    return m
+
+
+def rbgs_reference(sol, rhs, A, omega, n_iters):
+    """n_iters of masked-Jacobi half sweeps with boundary restore — the
+    exact jnp path of make_smoother on the dense backend."""
+    bmask = jnp.asarray(boundary_mask(sol.shape))
+    bvals = sol
+    for _ in range(n_iters):
+        for color in (0, 1):
+            mask = color_mask(sol.shape, color)
+            sol = jacobi_update(sol, rhs, A, omega, mask)
+            sol = jnp.where(bmask, bvals, sol)
+    return sol
+
+
+@pytest.mark.parametrize("shape", [(9, 9, 9), (17, 12, 21), (8, 9, 16)])
+@pytest.mark.parametrize("n_iters", [1, 2, 3])
+def test_rbgs_fused_matches_jnp(shape, n_iters):
+    rng = np.random.default_rng(42)
+    sol = jnp.asarray(rng.standard_normal(shape))
+    rhs = jnp.asarray(rng.standard_normal(shape))
+    A = star3d()
+    assert pallas_applicable_3d(shape, A.offsets, A.coefs)
+
+    want = rbgs_reference(sol, rhs, A, 0.8, n_iters)
+    got = rbgs_fused_3d(sol, rhs, A.offsets, A.coefs, 0.8, n_iters, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12)
+
+
+def test_boundary_preserved():
+    rng = np.random.default_rng(0)
+    shape = (9, 9, 9)
+    sol = jnp.asarray(rng.standard_normal(shape))
+    rhs = jnp.asarray(rng.standard_normal(shape))
+    A = star3d()
+    got = rbgs_fused_3d(sol, rhs, A.offsets, A.coefs, 0.8, 2, interpret=True)
+    bmask = boundary_mask(shape)
+    np.testing.assert_array_equal(np.asarray(got)[bmask], np.asarray(sol)[bmask])
+
+
+def test_rejects_non_star():
+    offsets = ((0, 0, 0), (1, 1, 0))
+    coefs = (4.0, -1.0)
+    assert not pallas_applicable_3d((9, 9, 9), offsets, coefs)
