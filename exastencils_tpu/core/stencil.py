@@ -220,6 +220,19 @@ def node_prolongation(ndim: int) -> IntergridStencil:
     return _separable("prolongation", [0.5, 1.0, 0.5], -1, ndim)
 
 
+def node_restriction_integral(ndim: int) -> IntergridStencil:
+    """Integral full weighting [1/2, 1, 1/2]^d: restriction of integral
+    quantities (FV/FE residuals), reference L3_DefaultRestriction
+    stencilNodeIntegralLinear."""
+    return _separable("restriction", [0.5, 1.0, 0.5], -1, ndim)
+
+
+def cell_restriction_integral(ndim: int) -> IntergridStencil:
+    """Summation over the 2^d child cells (reference
+    stencilCellIntegralLinear)."""
+    return _separable("restriction", [1.0, 1.0], 0, ndim)
+
+
 def cell_restriction(ndim: int) -> IntergridStencil:
     """Averaging over the 2^d child cells (reference L3_DefaultRestriction
     cell localization)."""

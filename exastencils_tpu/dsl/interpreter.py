@@ -147,7 +147,8 @@ class L4Executable:
                 from exastencils_tpu.solver.synthesis import default_transfer_ops
 
                 loc = _LOC_MAP.get(sd.localization, NODE)
-                r_ig, p_ig = default_transfer_ops(loc, self.k.dimensionality)
+                r_ig, p_ig = default_transfer_ops(
+                    loc, self.k.dimensionality, sd.interpolation)
                 ig = r_ig if sd.kind == "restriction" else p_ig
                 for lvl in levels:
                     per_level[lvl] = ig
@@ -178,6 +179,7 @@ class L4Executable:
             )
         self._bc_appliers: Dict[Tuple[str, int], object] = {}
         self._transfer_cache: Dict[Tuple, object] = {}
+        self._frozen_ctx = None  # in-place-sweep frozen-halo context
         self.init_fields_with_zero()
 
     # ------------------------------------------------------------------
@@ -198,6 +200,7 @@ class L4Executable:
             for d, c in enumerate(coords):
                 ax = "xyz"[d]
                 env[f"vf_boundaryPosition_{ax}"] = c
+                env[f"vf_boundaryPos_{ax}"] = c
                 env[f"vf_boundaryCoord_{ax}"] = c
                 env[f"vf_nodePosition_{ax}"] = c
                 env[f"vf_nodePos_{ax}"] = c
@@ -215,6 +218,7 @@ class L4Executable:
                 for d in range(grid.ndim):
                     ax = "xyz"[d]
                     env[f"vf_gridWidth_{ax}"] = grid.grid_width(d)
+                    env[f"vf_cellWidth_{ax}"] = grid.grid_width(d)
                 env["vf_cellVolume"] = grid.cell_volume
                 return self._eval_const(expr, env)
 
@@ -349,6 +353,7 @@ class L4Executable:
         for d in range(grid.ndim):
             ax = "xyz"[d]
             env[f"vf_gridWidth_{ax}"] = grid.grid_width(d)
+            env[f"vf_cellWidth_{ax}"] = grid.grid_width(d)
         env["vf_cellVolume"] = grid.cell_volume
         for e in sd.entries:
             offsets.append(tuple(int(self._eval_const(o)) for o in e.offsets))
@@ -404,6 +409,20 @@ class L4Executable:
                 ) else (min if e.name == "min" else max)(vals)
             if e.name == "getKnowledge":
                 return self._get_knowledge(e.args)
+            if e.name.startswith("integrateOver") and e.name.endswith("Face"):
+                # grid integral over a cell face (grid/ir
+                # IR_IntegrateOnGrid): on uniform axis-aligned grids the
+                # face area is the product of the other dims' widths
+                face = e.name[len("integrateOver"):-4]
+                d = {"East": 0, "West": 0, "North": 1, "South": 1,
+                     "Top": 2, "Bottom": 2}[face]
+                area = 1.0
+                for dd in range(3):
+                    key = f"vf_gridWidth_{'xyz'[dd]}"
+                    if dd != d and key in env:
+                        area = area * env[key]
+                val = self._eval_const(e.args[0], env) if e.args else 1.0
+                return val * area
         raise ValueError(f"cannot const-evaluate {e}")
 
     def _get_knowledge(self, args):
@@ -588,6 +607,11 @@ class L4Executable:
             f_level = self._resolve_level(e.rhs.level, fr)
             arr = self.get_field(e.rhs.name, f_level, e.rhs.slot)
             if isinstance(st, BoundStencil):
+                fz = getattr(self, "_frozen_ctx", None)
+                if fz is not None and fz[0] == e.rhs.name and fz[1] == f_level:
+                    conv = self._apply_stencil_frozen(
+                        st, e.rhs.name, f_level, arr, fz[2], fz[3])
+                    return self._to_loop_space(conv, e.rhs.offset, loop)
                 xp = self._padded_operand(e.rhs.name, f_level, arr, st.radius)
                 conv = apply_stencil(st, xp, padded_radius=st.radius, out_shape=arr.shape)
                 return self._to_loop_space(conv, e.rhs.offset, loop)
@@ -633,6 +657,18 @@ class L4Executable:
             if isinstance(st, tuple) and st[0] == "__stencil__":
                 return st[1].diag()
             raise ValueError("diag() expects a stencil")
+        if name == "diag_inv":
+            # L3 inverse-diagonal builtin (operator/l3 diag_inv)
+            st = self.eval_expr(e.args[0], fr, loop)
+            if isinstance(st, tuple) and st[0] == "__stencil__":
+                return 1.0 / st[1].diag()
+            raise ValueError("diag_inv() expects a stencil")
+        if name == "dot":
+            # L3 field dot product: sum over all grid points
+            # (solver/l3 L3_FieldFieldConvolution)
+            a = self.eval_expr(e.args[0], fr, loop)
+            b = self.eval_expr(e.args[1], fr, loop)
+            return jnp.sum(a * b)
         if name == "getKnowledge":
             return self._get_knowledge(e.args)
         if name == "levels":
@@ -875,6 +911,15 @@ class L4Executable:
         lvl = self._resolve_level(s.field.level, fr)
         info = self.fields[s.field.name]
         shape = self.field_shape(s.field.name, lvl)
+        if color_ctx is None and s.condition is None and len(s.body) == 1 \
+                and isinstance(s.body[0], N.Assign) \
+                and s.body[0].target.name == s.field.name \
+                and info.num_slots == 1 \
+                and (s.sequentially or self._self_stencil_dep(s.body[0], lvl)):
+            # in-place update reading own neighbors: the reference's C++
+            # loop nest is lexicographic (Gauss-Seidel semantics), NOT
+            # parallel -- execute as a wavefront sweep
+            return self._exec_seq_loop(s, fr, lvl, info, shape)
         loop = _LoopCtx(lvl, info.localization, shape, reduction=s.reduction)
         if color_ctx is not None:
             loop.mask = color_ctx
@@ -888,6 +933,173 @@ class L4Executable:
             op, var = s.reduction
             fr.vars.setdefault(var, 0.0)
         self.exec_block(s.body, fr, loop)
+
+    def _exec_seq_loop(self, s: N.LoopOverField, fr: Frame, lvl: int, info, shape):
+        """`loop over f sequentially { f (+)= expr }`: lexicographic
+        in-place update (the reference's coloring="None" Gauss-Seidel
+        smoother, a plain C++ loop nest).  Executed as a jitted wavefront
+        over anti-diagonals, which reproduces lexicographic dependencies
+        exactly for axis-aligned stencils (each point update reads
+        already-updated lex-smaller neighbors and old lex-larger ones)."""
+        st = s.body[0]
+        tname = s.field.name
+        nd = len(shape)
+        ref_fields = sorted(
+            (n for n in self._referenced_names(st.value) if n in self.fields),
+            key=str,
+        )
+        if tname not in ref_fields:
+            ref_fields.append(tname)
+        # fragment-local node partition: fragment f_d cells per dim; node g
+        # is updated by fragment g//f_d at local coordinate g mod f_d
+        # (dup-left owned, dup-right excluded: IR_LoopOverPointsInOneFragment
+        # IterationOffset bounds).  Cross-fragment stencil reads see the
+        # sweep-start state (per-fragment ghost copies, filled by the
+        # `communicate` preceding the loop).
+        fsizes = []
+        for d in range(nd):
+            cells = self.k.cells_per_dim(lvl, d)
+            F = self.k.frags_total(d)
+            fsizes.append(cells // F if F > 1 and cells % F == 0 and cells // F >= 1
+                          else cells)
+        key = ("__seq__", id(s), lvl)
+        if key not in self._transfer_cache:
+            def sweep(*arrays):
+                saved = {nm: self.state.get((nm, lvl)) for nm in ref_fields}
+                u0 = arrays[ref_fields.index(tname)]
+                try:
+                    for nm, arr in zip(ref_fields, arrays):
+                        self.state[(nm, lvl)] = arr
+                    iotas = [lax.broadcasted_iota(jnp.int32, shape, d) for d in range(nd)]
+                    diag_idx = None
+                    for d, i in enumerate(iotas):
+                        li = i % fsizes[d]
+                        diag_idx = li if diag_idx is None else diag_idx + li
+                    lctx = _LoopCtx(lvl, info.localization, shape)
+                    cond_mask = (
+                        self.eval_expr(s.condition, fr, lctx)
+                        if s.condition is not None else None
+                    )
+                    # exclude Dirichlet-plane DOFs: sequential in-place
+                    # updates would otherwise corrupt boundary values that
+                    # later (lex-larger) points consume mid-sweep
+                    # (reference: boundary handled by apply bc, smoother
+                    # only relaxes valid computation points)
+                    valid = self._valid_dof_mask(tname, lvl, None, shape)
+                    if valid is not None:
+                        cond_mask = (valid if cond_mask is None
+                                     else jnp.logical_and(cond_mask, valid))
+                    n_diag = sum(f - 1 for f in fsizes) + 1
+
+                    def body(d, u):
+                        self.state[(tname, lvl)] = u
+                        self._frozen_ctx = (tname, lvl, u0, tuple(fsizes))
+                        try:
+                            upd = self.eval_expr(
+                                st.value, fr, _LoopCtx(lvl, info.localization, shape))
+                        finally:
+                            self._frozen_ctx = None
+                        new = _apply_assign(st.op, u, upd)
+                        m = diag_idx == d
+                        if cond_mask is not None:
+                            m = jnp.logical_and(m, cond_mask)
+                        return jnp.where(m, new, u)
+
+                    return lax.fori_loop(0, n_diag, body, self.state[(tname, lvl)])
+                finally:
+                    for nm, a in saved.items():
+                        if a is not None:
+                            self.state[(nm, lvl)] = a
+            self._transfer_cache[key] = jax.jit(sweep)
+        arrays = [self.get_field(nm, lvl) for nm in ref_fields]
+        self.set_field(tname, lvl, self._transfer_cache[key](*arrays))
+
+    def _apply_stencil_frozen(self, st, name: str, lvl: int, arr, u0, fsizes):
+        """Stencil conv for the in-place sweep: same-fragment reads see
+        the current carry, cross-fragment reads the sweep-start state u0
+        (the reference's per-fragment ghost-copy semantics)."""
+        r = st.radius
+        xp_u = self._padded_operand(name, lvl, arr, r)
+        xp_u0 = self._padded_operand(name, lvl, u0, r)
+        nd = arr.ndim
+        iotas = [lax.broadcasted_iota(jnp.int32, arr.shape, d) for d in range(nd)]
+        out = None
+        for off, c in st.items():
+            sl = tuple(slice(r + o, r + o + n) for o, n in zip(off, arr.shape))
+            a = xp_u[sl]
+            cross = None
+            for d, o in enumerate(off):
+                if o and fsizes[d] > 0:
+                    li = iotas[d] % fsizes[d]
+                    cm = jnp.logical_or(li + o < 0, li + o > fsizes[d] - 1)
+                    cross = cm if cross is None else jnp.logical_or(cross, cm)
+            if cross is not None:
+                a = jnp.where(cross, xp_u0[sl], a)
+            term = c * a
+            out = term if out is None else out + term
+        return out
+
+    def _self_stencil_dep(self, st: N.Assign, lvl: int) -> bool:
+        """True if the assignment's value applies a stencil to the target
+        field's own (same-slot, same-level) data -- the pattern whose C++
+        in-place loop has Gauss-Seidel (lexicographic) semantics."""
+        tname = st.target.name
+        info = self.fields.get(tname)
+        if info is None:
+            return False
+        t_slot = self._slot_idx(tname, lvl, st.target.slot) if info.num_slots > 1 else 0
+
+        def same_level(a: N.Access) -> bool:
+            return a.level is None or (
+                isinstance(a.level, N.LvlRelative) and a.level.delta == 0
+            )
+
+        def has_cross_level(e) -> bool:
+            if isinstance(e, N.Access):
+                return e.name in self.fields and not same_level(e)
+            if isinstance(e, N.BinOp):
+                return has_cross_level(e.lhs) or has_cross_level(e.rhs)
+            if isinstance(e, N.UnOp):
+                return has_cross_level(e.operand)
+            if isinstance(e, N.Call):
+                return any(has_cross_level(a) for a in e.args)
+            return False
+
+        def walk(e) -> bool:
+            if isinstance(e, N.BinOp):
+                if (
+                    e.op == "*"
+                    and isinstance(e.lhs, N.Access) and e.lhs.name in self.stencils
+                    and isinstance(e.rhs, N.Access) and e.rhs.name == tname
+                    and same_level(e.rhs)
+                ):
+                    r_slot = (self._slot_idx(tname, lvl, e.rhs.slot)
+                              if info.num_slots > 1 else 0)
+                    if r_slot == t_slot:
+                        return True
+                return walk(e.lhs) or walk(e.rhs)
+            if isinstance(e, N.UnOp):
+                return walk(e.operand)
+            if isinstance(e, N.Call):
+                return any(walk(a) for a in e.args)
+            return False
+
+        # cross-level reads would be baked as stale constants in the
+        # cached sweep -- keep those on the parallel path
+        return walk(st.value) and not has_cross_level(st.value)
+
+    def _referenced_names(self, e) -> set:
+        out = set()
+        if isinstance(e, N.Access):
+            out.add(e.name)
+        elif isinstance(e, N.BinOp):
+            out |= self._referenced_names(e.lhs) | self._referenced_names(e.rhs)
+        elif isinstance(e, N.UnOp):
+            out |= self._referenced_names(e.operand)
+        elif isinstance(e, N.Call):
+            for a in e.args:
+                out |= self._referenced_names(a)
+        return out
 
     def _region_mask(self, s: N.LoopOverField, shape):
         region, rdir = s.region

@@ -39,7 +39,7 @@ _TOKEN_RE = re.compile(
   | (?P<real>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)(?!\w)|\d+\.\d*|\.\d+)
   | (?P<int>\d+)
   | (?P<string>"[^"]*"|'[^']*')
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<ident>\\[A-Za-z]+(_\{[A-Za-z]+\})?|[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>%s)
 """ % _OP_RE,
     re.VERBOSE | re.DOTALL,

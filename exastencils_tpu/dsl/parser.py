@@ -94,7 +94,7 @@ class L4Parser:
         if name in ("finest", "coarsest", "current", "coarser", "finer"):
             ts.next()
             off = 0
-            if ts.at("op", "+") or ts.at("op", "-"):
+            if (ts.at("op", "+") or ts.at("op", "-")) and ts.peek().kind == "int":
                 sgn = -1 if ts.next().value == "-" else 1
                 off = sgn * int(ts.expect("int").value)
             if name == "finest":

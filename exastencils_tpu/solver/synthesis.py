@@ -56,13 +56,24 @@ class Equation:
         return self.operator
 
 
-def default_transfer_ops(localization: str, ndim: int):
+def default_transfer_ops(localization: str, ndim: int,
+                         interpolation: str = "linear"):
     """Reference L3_DefaultRestriction/Prolongation.generate per field
-    localization (node/cell)."""
+    localization (node/cell) and interpolation kind: restriction uses
+    'integral_linear' (summing) for FV/FE integral residuals and
+    'linear' (averaging) for FD (L3_SolverForEquation.scala:133-139)."""
+    from exastencils_tpu.core.stencil import (
+        cell_restriction_integral,
+        node_restriction_integral,
+    )
+
+    integral = interpolation == "integral_linear"
     if localization == NODE:
-        return node_restriction(ndim), node_prolongation(ndim)
+        r = node_restriction_integral(ndim) if integral else node_restriction(ndim)
+        return r, node_prolongation(ndim)
     if localization == CELL:
-        return cell_restriction(ndim), cell_prolongation(ndim)
+        r = cell_restriction_integral(ndim) if integral else cell_restriction(ndim)
+        return r, cell_prolongation(ndim)
     raise ValueError(f"no default transfer ops for localization {localization!r}")
 
 
