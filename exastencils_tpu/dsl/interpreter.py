@@ -433,7 +433,7 @@ class L4Executable:
     # runtime expression evaluation
     def eval_expr(self, e, fr: Frame, loop: Optional[_LoopCtx] = None):
         if isinstance(e, N.Num):
-            return e.value
+            return int(e.value) if e.is_int else e.value
         if isinstance(e, N.Str):
             return e.value
         if isinstance(e, N.UnOp):
