@@ -89,7 +89,11 @@ def parse_config_file(path: str, target) -> None:
     parse_config_text(text, target, base=base)
 
 
+_BLOCK_COMMENT_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
+
+
 def parse_config_text(text: str, target, base: str = ".") -> None:
+    text = _BLOCK_COMMENT_RE.sub("", text)
     for raw in text.splitlines():
         line = _strip_comment(raw).strip()
         if not line:

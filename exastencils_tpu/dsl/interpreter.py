@@ -180,6 +180,8 @@ class L4Executable:
         self._bc_appliers: Dict[Tuple[str, int], object] = {}
         self._transfer_cache: Dict[Tuple, object] = {}
         self._frozen_ctx = None  # in-place-sweep frozen-halo context
+        self._cout_precision = 6  # std::cout default (native() emulation)
+        self._cout_saved = 6
         self.init_fields_with_zero()
 
     # ------------------------------------------------------------------
@@ -675,7 +677,23 @@ class L4Executable:
             return self._resolve_level(e.level, fr)
         if name == "print":
             vals = [self.eval_expr(a, fr, loop) for a in e.args]
-            self.out(" ".join(_fmt(v) for v in vals))
+            self.out(" ".join(_fmt(v, self._cout_precision) for v in vals))
+            return None
+        if name == "native":
+            # emulate the generated std::cout stream-precision calls the
+            # reference's old-style reduced-precision printing relies on
+            # (util/ir/IR_ResolvePrintWithReducedPrec pre-refactor form)
+            code = str(e.args[0].value) if e.args else ""
+            if "= std::cout.precision()" in code:
+                self._cout_saved = self._cout_precision
+            elif "std::cout.precision(oldPrec)" in code:
+                self._cout_precision = self._cout_saved
+            elif "std::cout.precision(" in code:
+                import re as _re
+
+                m = _re.search(r"std::cout\.precision\((\d+)\)", code)
+                if m:
+                    self._cout_precision = int(m.group(1))
             return None
         if name == "printWithReducedPrec":
             v = float(self.eval_expr(e.args[0], fr, loop))
@@ -921,8 +939,16 @@ class L4Executable:
             # parallel -- execute as a wavefront sweep
             return self._exec_seq_loop(s, fr, lvl, info, shape)
         loop = _LoopCtx(lvl, info.localization, shape, reduction=s.reduction)
+        if s.region is None:
+            # default iteration space eliminates 'real' (physical domain)
+            # boundaries along node-localized dims
+            # (IR_LoopOverPointsInOneFragment.scala:73-101 IterationOffsets)
+            bmask = self._node_interior_mask(info.localization, shape)
+            if bmask is not None:
+                loop.mask = bmask
         if color_ctx is not None:
-            loop.mask = color_ctx
+            loop.mask = color_ctx if loop.mask is None else jnp.logical_and(
+                loop.mask, color_ctx)
         if s.condition is not None:
             cond = self.eval_expr(s.condition, fr, loop)
             loop.mask = cond if loop.mask is None else jnp.logical_and(loop.mask, cond)
@@ -1100,6 +1126,23 @@ class L4Executable:
             for a in e.args:
                 out |= self._referenced_names(a)
         return out
+
+    def _node_interior_mask(self, loc, shape):
+        """False on physical-boundary planes along node-localized dims
+        (None when nothing is excluded, e.g. pure cell fields)."""
+        nd = len(shape)
+        if loc == NODE:
+            dims = list(range(nd))
+        elif loc in FACES:
+            dims = [FACES.index(loc)]
+        else:
+            return None
+        m = None
+        for d in dims:
+            i = lax.broadcasted_iota(jnp.int32, shape, d)
+            mm = jnp.logical_and(i > 0, i < shape[d] - 1)
+            m = mm if m is None else jnp.logical_and(m, mm)
+        return m
 
     def _region_mask(self, s: N.LoopOverField, shape):
         region, rdir = s.region
@@ -1382,10 +1425,12 @@ def _shift(arr, offset):
     return xp[sl]
 
 
-def _fmt(v) -> str:
+def _fmt(v, precision: int = 6) -> str:
+    """C++ `std::cout <<` default formatting at the current stream
+    precision (%.Ng general form)."""
     if isinstance(v, str):
         return v
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     f = float(v)
-    if f == int(f) and abs(f) < 1e15 and isinstance(v, (int,)):
-        return str(int(f))
-    return repr(f)
+    return "%.*g" % (precision, f)

@@ -84,6 +84,11 @@ class L4Parser:
     def parse_level_atom(self) -> N.LevelSpec:
         ts = self.ts
         t = ts.cur
+        if t.kind == "op" and t.value == "(":
+            ts.next()
+            spec = self.parse_level_expr()
+            ts.expect("op", ")")
+            return spec
         if t.kind == "int":
             ts.next()
             return N.LvlSingle(int(t.value))
@@ -706,21 +711,22 @@ class L4Parser:
         name = ts.next().value
         level = None
         offset0 = None
-        if ts.at("op", "@"):
-            if ts.peek().value == "[":
-                ts.next()
-                offset0 = self.parse_int_list()
-            else:
+        slot = None
+        # slot/level/offset modifiers may appear in either order
+        # (`Solution<active>@current`, `Solution@current<next>`)
+        while True:
+            if level is None and ts.at("op", "@") and ts.peek().value != "[":
                 ts.next()
                 level = self.parse_level_spec_after_at()
-                if ts.at("op", "@") and ts.peek().value == "[":
-                    ts.next()
-                    offset0 = self.parse_int_list()
-        slot = None
-        if ts.at("op", "<") and self._looks_like_slot():
-            ts.next()
-            slot = ts.next().value
-            ts.expect("op", ">")
+            elif offset0 is None and ts.at("op", "@") and ts.peek().value == "[":
+                ts.next()
+                offset0 = self.parse_int_list()
+            elif slot is None and ts.at("op", "<") and self._looks_like_slot():
+                ts.next()
+                slot = ts.next().value
+                ts.expect("op", ">")
+            else:
+                break
         if allow_call and ts.at("op", "("):
             ts.next()
             args = []

@@ -1,0 +1,43 @@
+"""Golden end-to-end parity across the reference's L4 test suites:
+generate-free configs (.exa4 + .knowledge) run through the interpreter
+and diffed against the committed .results (Testing/run_test.py, exact
+string compare as all lines match digit-for-digit here).
+
+Suites covered: BC (polynomial/trigonometric boundary functions),
+CellBased (cell-centered fields, Neumann), FMG (full multigrid).
+3D variants and the matrix-valued suites (OpticalFlow, ExaStokes,
+MatrixClassTests) are tracked for later rounds: 3D sizes (577^3) are
+impractical on the CPU test backend, matrices need the Matrix datatype.
+"""
+
+import os
+
+import pytest
+
+from exastencils_tpu.config import Knowledge
+from exastencils_tpu.config.parser import parse_config_file
+from exastencils_tpu.dsl.interpreter import L4Executable
+from exastencils_tpu.dsl.parser import parse_l4
+
+CASES = [
+    ("BC", "2D_Polynomial"),
+    ("BC", "2D_Trigonometric"),
+    ("CellBased", "2D_Basic"),
+    ("CellBased", "2D_Neumann"),
+    ("FMG", "2D_ConstCoeff"),
+    ("FMG", "2D_Polynomial"),
+]
+
+
+@pytest.mark.parametrize("suite,name", CASES, ids=[f"{s}/{n}" for s, n in CASES])
+def test_suite_golden(suite, name, reference_root):
+    base = os.path.join(reference_root, "Testing", suite, name)
+    k = Knowledge()
+    parse_config_file(base + ".knowledge", k)
+    k.update()
+    prog = parse_l4(base + ".exa4")
+    lines = []
+    L4Executable(prog, k, out=lines.append).run()
+    with open(base + ".results") as f:
+        golden = [l.strip() for l in f]
+    assert [l.strip() for l in lines] == golden
