@@ -142,6 +142,15 @@ class Call(Expr):
     args: List[Expr]
 
 
+@dataclass
+class MatrixLit(Expr):
+    """`{ {a, b}, {c, d} }` matrix / `{a, b}` column-vector literal
+    (baseExt/l4 matrix expressions; used as stencil coefficients in the
+    vector-valued suites, e.g. Testing/Application/OpticalFlow2D)."""
+
+    rows: List[List[Expr]]
+
+
 # ---------------- statements
 
 
@@ -336,6 +345,17 @@ class StencilFromDefault:
     localization: str
     interpolation: str
     levels: Optional[LevelSpec] = None
+
+
+@dataclass
+class StencilFromExpr:
+    """`Stencil id [@lvl] from ( <stencil expression> )` — stencil
+    algebra over previously declared stencils (operator/l4
+    L4_OperatorFromEquation / IR_StencilOps combinations)."""
+
+    name: str
+    levels: Optional[LevelSpec]
+    expr: Expr
 
 
 @dataclass

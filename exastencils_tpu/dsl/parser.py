@@ -268,6 +268,12 @@ class L4Parser:
         name = ts.expect("ident").value
         levels = self.maybe_level()
         if ts.accept("keyword", "from"):
+            if ts.at("op", "("):
+                # `Stencil id from ( <stencil expr> )`
+                ts.next()
+                expr = self.parse_expr()
+                ts.expect("op", ")")
+                return N.StencilFromExpr(name, levels, expr)
             # `Stencil id from default restriction on Cell with 'linear'`
             ts.expect("ident", "default")
             kind = ts.next().value  # restriction | prolongation
@@ -698,6 +704,26 @@ class L4Parser:
             e = self.parse_expr()
             ts.expect("op", ")")
             return e
+        if ts.at("op", "{"):
+            # matrix `{ {..},{..} }` or column-vector `{a, b}` literal
+            ts.next()
+            rows: list = []
+            if ts.at("op", "{"):
+                while not ts.at("op", "}"):
+                    ts.expect("op", "{")
+                    row = [self.parse_expr()]
+                    while ts.accept("op", ","):
+                        row.append(self.parse_expr())
+                    ts.expect("op", "}")
+                    rows.append(row)
+                    ts.accept("op", ",")
+            else:
+                while not ts.at("op", "}"):
+                    rows.append([self.parse_expr()])
+                    if not ts.accept("op", ","):
+                        break
+            ts.expect("op", "}")
+            return N.MatrixLit(rows)
         if t.kind in ("ident", "keyword"):
             if t.value in ("true", "false"):
                 ts.next()
