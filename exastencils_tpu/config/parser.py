@@ -92,8 +92,40 @@ def parse_config_file(path: str, target) -> None:
 _BLOCK_COMMENT_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
 
 
+def _strip_block_comments(text: str) -> str:
+    """Remove /* ... */ preserving line structure (a comment is replaced
+    by the newlines it spanned, so `key1 = a /* ...\n... */` never
+    splices the next statement onto the same line) and skipping matches
+    inside string literals."""
+    out = []
+    i = 0
+    in_str = None
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if c == in_str:
+                in_str = None
+            i += 1
+        elif c in "\"'":
+            in_str = c
+            out.append(c)
+            i += 1
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            end = text.find("*/", i + 2)
+            if end < 0:
+                break  # unterminated comment: drop the rest
+            out.append("\n" * text.count("\n", i, end + 2))
+            i = end + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def parse_config_text(text: str, target, base: str = ".") -> None:
-    text = _BLOCK_COMMENT_RE.sub("", text)
+    text = _strip_block_comments(text)
     for raw in text.splitlines():
         line = _strip_comment(raw).strip()
         if not line:

@@ -137,6 +137,24 @@ def _mul_coefs(a: Coef, b: Coef) -> Coef:
     return a * b
 
 
+def _shift_coef(c, offset: Offset):
+    """coef(i + offset) for array coefficients (zero beyond bounds);
+    scalars are shift-invariant."""
+    if not hasattr(c, "shape") or getattr(c, "shape", ()) == ():
+        return c
+    if not any(offset):
+        return c
+    r = max(abs(o) for o in offset)
+    xp = jnp.pad(c, r)
+    sl = tuple(slice(r + o, r + o + n) for o, n in zip(offset, c.shape))
+    return xp[sl]
+
+
+def _mul_shifted(a, b, p: Offset):
+    """A[p](i) * B[q](i+p) — B's variable coefficient reads at i+p."""
+    return a * _shift_coef(b, p)
+
+
 @dataclass(frozen=True)
 class BoundStencil:
     """A stencil with concrete per-level coefficients (scalars or arrays
@@ -160,6 +178,46 @@ class BoundStencil:
 
     def items(self):
         return zip(self.offsets, self.coefs)
+
+    # --- algebra on bound stencils (reference IR_StencilOps.scala:34,
+    # operator/ir/IR_OperatorTimesOperator.scala) ---
+    def scale(self, s) -> "BoundStencil":
+        return BoundStencil(
+            f"({s}*{self.name})", self.offsets, tuple(c * s for c in self.coefs)
+        )
+
+    def add(self, other: "BoundStencil") -> "BoundStencil":
+        ent: Dict[Offset, object] = {}
+        for off, c in self.items():
+            ent[off] = ent[off] + c if off in ent else c
+        for off, c in other.items():
+            ent[off] = ent[off] + c if off in ent else c
+        return BoundStencil(
+            f"({self.name}+{other.name})", tuple(ent.keys()), tuple(ent.values())
+        )
+
+    def compose(self, other: "BoundStencil") -> "BoundStencil":
+        """(A*B)[i, i+p+q] += A[p](i) * B[q](i+p): stencil-of-stencil
+        product; array (variable) coefficients of B are shifted by p."""
+        ent: Dict[Offset, object] = {}
+        for p, a in self.items():
+            for q, b in other.items():
+                off = tuple(x + y for x, y in zip(p, q))
+                term = _mul_shifted(a, b, p)
+                ent[off] = ent[off] + term if off in ent else term
+        return BoundStencil(
+            f"({self.name}*{other.name})", tuple(ent.keys()), tuple(ent.values())
+        )
+
+    def transposed(self) -> "BoundStencil":
+        """S^T[o](i) = S[-o](i+o): offset negation with the variable
+        coefficient shifted along the negated offset."""
+        offs, cs = [], []
+        for off, c in self.items():
+            noff = tuple(-o for o in off)
+            offs.append(noff)
+            cs.append(_shift_coef(c, noff))
+        return BoundStencil(f"{self.name}^T", tuple(offs), tuple(cs))
 
 
 # ----------------------------------------------------------------------
@@ -189,6 +247,64 @@ class IntergridStencil:
     @property
     def ndim(self) -> int:
         return self.weights.ndim
+
+    def transposed(self) -> "IntergridStencil":
+        """R^T = P with the same window (and vice versa): the matrix
+        transpose of coarse[i] = sum w[s] fine[2i+lo+s] is
+        fine[j] += sum w[j-2c-lo] coarse[c] (reference
+        IR_StencilOps.transpose on mapping stencils; the classical
+        P = c * R^T construction)."""
+        kind = "prolongation" if self.kind == "restriction" else "restriction"
+        return IntergridStencil(kind, self.weights, self.lo, self.kernels_1d)
+
+    def scaled(self, s: float) -> "IntergridStencil":
+        kernels = None
+        if self.kernels_1d is not None:
+            kernels = (tuple(float(v) * float(s) for v in self.kernels_1d[0]),) + tuple(
+                self.kernels_1d[1:]
+            )
+        return IntergridStencil(self.kind, self.weights * s, self.lo, kernels)
+
+
+def galerkin_product(
+    R: IntergridStencil, A: BoundStencil, P: IntergridStencil
+) -> BoundStencil:
+    """Galerkin coarse operator A_c = R A P (reference
+    operator/ir/IR_OperatorTimesOperator.scala, used by `generate
+    operators` with Galerkin coarsening).
+
+        A_c[oc] = sum_{p,q,s : s = p+q-2*oc} wR[p] * wA[q](2i+p) * wP[s]
+
+    Constant A coefficients fold to a constant coarse stencil; variable
+    (array) coefficients are sampled at the even fine points (2i + p),
+    which requires the fine coefficient array to span the fine node grid."""
+    if R.kind != "restriction" or P.kind != "prolongation":
+        raise ValueError("galerkin_product expects (restriction, A, prolongation)")
+    nd = A.ndim
+    ent: Dict[Offset, object] = {}
+    for ridx in np.ndindex(*R.weights.shape):
+        wr = float(R.weights[ridx])
+        if wr == 0.0:
+            continue
+        p = tuple(R.lo[d] + ridx[d] for d in range(nd))
+        for q, wa in A.items():
+            for sidx in np.ndindex(*P.weights.shape):
+                wp = float(P.weights[sidx])
+                if wp == 0.0:
+                    continue
+                s = tuple(P.lo[d] + sidx[d] for d in range(nd))
+                num = tuple(p[d] + q[d] - s[d] for d in range(nd))
+                if any(n % 2 for n in num):
+                    continue
+                oc = tuple(n // 2 for n in num)
+                coef = wa
+                if hasattr(wa, "shape") and getattr(wa, "shape", ()) != ():
+                    # sample the fine-level coefficient at 2i + p
+                    shifted = _shift_coef(wa, p)
+                    coef = shifted[tuple(slice(None, None, 2) for _ in range(nd))]
+                term = wr * coef * wp
+                ent[oc] = ent[oc] + term if oc in ent else term
+    return BoundStencil(f"({A.name})_galerkin", tuple(ent.keys()), tuple(ent.values()))
 
 
 def _tensor_window(kernel_1d: Sequence[float], ndim: int) -> np.ndarray:

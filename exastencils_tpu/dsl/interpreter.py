@@ -152,6 +152,12 @@ class L4Executable:
                 ig = r_ig if sd.kind == "restriction" else p_ig
                 for lvl in levels:
                     per_level[lvl] = ig
+            elif isinstance(sd, N.StencilFromExpr):
+                # stencil algebra over declared stencils (reference
+                # IR_StencilOps / IR_OperatorTimesOperator): resolved
+                # lazily so operand stencils bind at the right level
+                for lvl in levels:
+                    per_level[lvl] = ("__sexpr__", sd)
             elif sd.entries and isinstance(sd.entries[0], N.StencilMappingEntry):
                 ig = self._mapping_to_intergrid(sd)
                 for lvl in levels:
@@ -342,6 +348,11 @@ class L4Executable:
         """Resolve a stencil at a level; offset stencils are bound lazily
         so field-valued coefficients read the *current* field state."""
         entry = self.stencils[name][level]
+        if isinstance(entry, tuple) and entry and entry[0] == "__sexpr__":
+            key = (name, level)
+            if key not in self._stencil_cache:
+                self._stencil_cache[key] = self._eval_stencil_expr(entry[1].expr, level)
+            return self._stencil_cache[key]
         if not (isinstance(entry, tuple) and entry and entry[0] == "__decl__"):
             return entry  # IntergridStencil
         key = (name, level)
@@ -368,6 +379,90 @@ class L4Executable:
         if cacheable:
             self._stencil_cache[key] = st
         return st
+
+    def _eval_stencil_expr(self, e, level: int):
+        """Evaluate a stencil-valued expression (`Stencil S from (...)`):
+        +, -, scalar scaling, stencil-of-stencil products, transpose(),
+        and the Galerkin triple product R * A * P (reference
+        operator/ir/IR_StencilOps.scala:34,
+        IR_OperatorTimesOperator.scala).  Returns a BoundStencil or
+        IntergridStencil usable wherever a declared stencil is."""
+        from exastencils_tpu.core.stencil import galerkin_product
+
+        def scale(v, s):
+            if isinstance(v, BoundStencil):
+                return v.scale(s)
+            if isinstance(v, IntergridStencil):
+                return v.scaled(s)
+            if isinstance(v, tuple) and v and v[0] == "__RA__":
+                return ("__RA__", v[1], v[2].scale(s))
+            return v * s
+
+        def ident_like(nd):
+            return BoundStencil("I", ((0,) * nd,), (1.0,))
+
+        def mul(a, b):
+            a_st = isinstance(a, (BoundStencil, IntergridStencil)) or (
+                isinstance(a, tuple) and a and a[0] == "__RA__")
+            b_st = isinstance(b, (BoundStencil, IntergridStencil)) or (
+                isinstance(b, tuple) and b and b[0] == "__RA__")
+            if not a_st and not b_st:
+                return a * b
+            if not a_st:
+                return scale(b, a)
+            if not b_st:
+                return scale(a, b)
+            if isinstance(a, BoundStencil) and isinstance(b, BoundStencil):
+                return a.compose(b)
+            if isinstance(a, IntergridStencil) and a.kind == "restriction":
+                if isinstance(b, BoundStencil):
+                    return ("__RA__", a, b)
+                if isinstance(b, IntergridStencil) and b.kind == "prolongation":
+                    return galerkin_product(a, ident_like(b.ndim), b)
+            if isinstance(a, tuple) and a[0] == "__RA__":
+                if isinstance(b, BoundStencil):
+                    return ("__RA__", a[1], a[2].compose(b))
+                if isinstance(b, IntergridStencil) and b.kind == "prolongation":
+                    return galerkin_product(a[1], a[2], b)
+            raise ValueError(
+                f"unsupported stencil product {type(a).__name__} * {type(b).__name__}"
+            )
+
+        def ev(e, lvl):
+            if isinstance(e, N.Access) and e.name in self.stencils:
+                l = lvl
+                if e.level is not None:
+                    l = e.level.resolve(self.lo, self.hi, lvl)[0]
+                return self._stencil_at(e.name, l)
+            if isinstance(e, N.Call) and e.name in ("transpose", "transposed"):
+                v = ev(e.args[0], lvl)
+                if isinstance(v, (BoundStencil, IntergridStencil)):
+                    return v.transposed()
+                raise ValueError("transpose() expects a stencil")
+            if isinstance(e, N.UnOp) and e.op == "-":
+                return scale(ev(e.operand, lvl), -1.0)
+            if isinstance(e, N.BinOp):
+                if e.op == "*":
+                    return mul(ev(e.lhs, lvl), ev(e.rhs, lvl))
+                if e.op in ("+", "-"):
+                    a = ev(e.lhs, lvl)
+                    b = ev(e.rhs, lvl)
+                    if isinstance(a, BoundStencil) and isinstance(b, BoundStencil):
+                        return a.add(b.scale(-1.0) if e.op == "-" else b)
+                    if not isinstance(a, (BoundStencil, IntergridStencil, tuple)) and \
+                            not isinstance(b, (BoundStencil, IntergridStencil, tuple)):
+                        return a + b if e.op == "+" else a - b
+                    raise ValueError(f"cannot {e.op} stencils of these kinds")
+                if e.op == "/":
+                    return scale(ev(e.lhs, lvl), 1.0 / self._eval_const(e.rhs))
+            return self._eval_const(e)
+
+        out = ev(e, level)
+        if isinstance(out, tuple) and out and out[0] == "__RA__":
+            raise ValueError("incomplete Galerkin product: R*A without a prolongation")
+        if not isinstance(out, (BoundStencil, IntergridStencil)):
+            raise ValueError(f"stencil expression evaluated to non-stencil {out!r}")
+        return out
 
     def bc_applier(self, name: str, level: int):
         key = (name, level)
@@ -604,7 +699,11 @@ class L4Executable:
                 # stencil * stencil -> composition; stencil * scalar -> scale
                 rhs = self.eval_expr(e.rhs, fr, loop)
                 if _is_stencil(rhs):
-                    raise ValueError("stencil-stencil products need bound stencils")
+                    if isinstance(st, BoundStencil) and isinstance(rhs[1], BoundStencil):
+                        return ("__stencil__", st.compose(rhs[1]), st_level)
+                    raise ValueError(
+                        "stencil-stencil products need bound offset stencils"
+                    )
                 return ("__stencil__", _scale_stencil(st, rhs), st_level)
             f_level = self._resolve_level(e.rhs.level, fr)
             arr = self.get_field(e.rhs.name, f_level, e.rhs.slot)
@@ -665,6 +764,11 @@ class L4Executable:
             if isinstance(st, tuple) and st[0] == "__stencil__":
                 return 1.0 / st[1].diag()
             raise ValueError("diag_inv() expects a stencil")
+        if name in ("transpose", "transposed"):
+            v = self.eval_expr(e.args[0], fr, loop)
+            if _is_stencil(v):
+                return ("__stencil__", v[1].transposed(), v[2])
+            return jnp.swapaxes(v, -1, -2)
         if name == "dot":
             # L3 field dot product: sum over all grid points
             # (solver/l3 L3_FieldFieldConvolution)
@@ -970,12 +1074,32 @@ class L4Executable:
         st = s.body[0]
         tname = s.field.name
         nd = len(shape)
-        ref_fields = sorted(
-            (n for n in self._referenced_names(st.value) if n in self.fields),
-            key=str,
-        )
+        refs = self._referenced_names(st.value)
+        if s.condition is not None:
+            refs |= self._referenced_names(s.condition)
+        ref_fields = sorted((n for n in refs if n in self.fields), key=str)
         if tname not in ref_fields:
             ref_fields.append(tname)
+
+        # frame variables / globals read while tracing the sweep must be
+        # traced arguments (or part of the cache key), never closure
+        # constants: the cached jit would otherwise silently reuse the
+        # first call's values on later executions
+        def _lookup_var(n):
+            return fr.vars[n] if n in fr.vars else self.globals.get(n)
+
+        var_names = sorted(
+            n for n in refs
+            if n not in self.fields and n not in self.stencils
+            and (n in fr.vars or n in self.globals)
+        )
+        traced_names = tuple(
+            n for n in var_names
+            if isinstance(_lookup_var(n), (int, float, np.floating, np.integer))
+            or hasattr(_lookup_var(n), "shape")
+        )
+        const_names = tuple(n for n in var_names if n not in traced_names)
+        const_key = tuple((n, repr(_lookup_var(n))) for n in const_names)
         # fragment-local node partition: fragment f_d cells per dim; node g
         # is updated by fragment g//f_d at local coordinate g mod f_d
         # (dup-left owned, dup-right excluded: IR_LoopOverPointsInOneFragment
@@ -988,9 +1112,14 @@ class L4Executable:
             F = self.k.frags_total(d)
             fsizes.append(cells // F if F > 1 and cells % F == 0 and cells // F >= 1
                           else cells)
-        key = ("__seq__", id(s), lvl)
+        key = ("__seq__", id(s), lvl, fr.level, traced_names, const_key)
         if key not in self._transfer_cache:
-            def sweep(*arrays):
+            def sweep(arrays, scalars):
+                fr_in = Frame(
+                    {**{n: _lookup_var(n) for n in const_names},
+                     **dict(zip(traced_names, scalars))},
+                    fr.level,
+                )
                 saved = {nm: self.state.get((nm, lvl)) for nm in ref_fields}
                 u0 = arrays[ref_fields.index(tname)]
                 try:
@@ -1003,7 +1132,7 @@ class L4Executable:
                         diag_idx = li if diag_idx is None else diag_idx + li
                     lctx = _LoopCtx(lvl, info.localization, shape)
                     cond_mask = (
-                        self.eval_expr(s.condition, fr, lctx)
+                        self.eval_expr(s.condition, fr_in, lctx)
                         if s.condition is not None else None
                     )
                     # exclude Dirichlet-plane DOFs: sequential in-place
@@ -1022,7 +1151,7 @@ class L4Executable:
                         self._frozen_ctx = (tname, lvl, u0, tuple(fsizes))
                         try:
                             upd = self.eval_expr(
-                                st.value, fr, _LoopCtx(lvl, info.localization, shape))
+                                st.value, fr_in, _LoopCtx(lvl, info.localization, shape))
                         finally:
                             self._frozen_ctx = None
                         new = _apply_assign(st.op, u, upd)
@@ -1037,8 +1166,9 @@ class L4Executable:
                         if a is not None:
                             self.state[(nm, lvl)] = a
             self._transfer_cache[key] = jax.jit(sweep)
-        arrays = [self.get_field(nm, lvl) for nm in ref_fields]
-        self.set_field(tname, lvl, self._transfer_cache[key](*arrays))
+        arrays = tuple(self.get_field(nm, lvl) for nm in ref_fields)
+        scalars = tuple(_lookup_var(n) for n in traced_names)
+        self.set_field(tname, lvl, self._transfer_cache[key](arrays, scalars))
 
     def _apply_stencil_frozen(self, st, name: str, lvl: int, arr, u0, fsizes):
         """Stencil conv for the in-place sweep: same-fragment reads see

@@ -114,6 +114,8 @@ def rank_fragments(blocks: Sequence[int], frags_per_block: Sequence[int],
     """Global fragment ids owned by an MPI-rank-analog block
     (reference IR_InitGeneratedDomain.scala:40-48)."""
     nd = len(blocks)
+    if not 1 <= nd <= 3:
+        raise ValueError(f"rank_fragments supports 1-3 dims, got {nd}")
     lib = None if force_py else get_lib()
     count = 1
     for f in frags_per_block:
@@ -122,6 +124,8 @@ def rank_fragments(blocks: Sequence[int], frags_per_block: Sequence[int],
         out = (ctypes.c_int32 * count)()
         n = lib.exa_rank_fragments(nd, _i32(blocks), _i32(frags_per_block),
                                    rank, out)
+        if n < 0:
+            raise ValueError(f"exa_rank_fragments rejected ndim={nd}")
         return list(out[:n])
     bpos = []
     rem = rank
@@ -190,14 +194,16 @@ def check_results(got_path: str, expect_path: str, eps: float = 1e-6,
     if lib is not None:
         return int(lib.exa_check_results(
             got_path.encode(), expect_path.encode(), eps))
+    # trailing-whitespace-only strip, matching the C implementation
+    # exactly (leading whitespace is significant in both)
     try:
         with open(got_path) as f:
-            got = [l.strip() for l in f]
+            got = [l.rstrip() for l in f]
     except OSError:
         return -1
     try:
         with open(expect_path) as f:
-            exp = [l.strip() for l in f]
+            exp = [l.rstrip() for l in f]
     except OSError:
         return -2
     if len(got) != len(exp):

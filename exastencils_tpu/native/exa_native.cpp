@@ -80,6 +80,7 @@ void exa_fragment_connectivity(int32_t ndim, const int32_t* fragsTotal,
 int32_t exa_rank_fragments(int32_t ndim, const int32_t* blocks,
                            const int32_t* fragsPerBlock, int32_t rank,
                            int32_t* out) {
+  if (ndim < 1 || ndim > 3) return -1;  // scratch arrays below are size 3
   int32_t bpos[3] = {0, 0, 0};
   int32_t rem = rank;
   for (int d = 0; d < ndim; ++d) {

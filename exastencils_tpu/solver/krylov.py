@@ -93,8 +93,14 @@ def bicgstab(
     res_reduction: float = 1e-3,
     dot_fn: Callable = dot,
     norm_fn: Callable = norm_l2,
+    restart_after: int = 0,
 ) -> KrylovResult:
-    """BiCGStab (reference solver/l3/L3_BiCGStabForEquation.scala)."""
+    """BiCGStab (reference solver/l3/L3_BiCGStabForEquation.scala).
+
+    `restart_after > 0` re-seeds r0/p from the true residual every N
+    iterations (the reference's `solver_cgs_restart` /
+    `solver_cgs_restartAfter` protection against shadow-residual drift,
+    config/Knowledge.scala solver_cgs_restart*)."""
     r = bc_res(rhs - A_apply(sol))
     init_res = norm_fn(r)
     r0 = r
@@ -105,7 +111,19 @@ def bicgstab(
         return jnp.logical_and(it < max_its, jnp.logical_not(done))
 
     def body(c):
-        it, sol, r, p, _, _ = c
+        it, sol, r, r0, p, _, _ = c
+        if restart_after and restart_after > 0:
+            def do_restart(args):
+                sol, _, _, _ = args
+                r_new = bc_res(rhs - A_apply(sol))
+                return sol, r_new, r_new, bc_res(r_new)
+
+            sol, r, r0, p = lax.cond(
+                jnp.logical_and(it > 0, it % restart_after == 0),
+                do_restart,
+                lambda args: args,
+                (sol, r, r0, p),
+            )
         Ap = A_apply(p)
         alpha = dot_fn(r, r0) / dot_fn(Ap, r0)
         s = bc_res(r - alpha * Ap)
@@ -117,10 +135,10 @@ def bicgstab(
         done = next_res <= res_reduction * init_res
         beta = (dot_fn(r_new, r0) / dot_fn(r, r0)) * (alpha / omega)
         p = bc_res(r_new + beta * (p - omega * Ap))
-        return (it + 1, sol, r_new, p, next_res, done)
+        return (it + 1, sol, r_new, r0, p, next_res, done)
 
-    it, sol, r, p, cur_res, done = lax.while_loop(
-        cond, body, (jnp.int32(0), sol, r, p, init_res, init_res <= 0.0)
+    it, sol, r, r0, p, cur_res, done = lax.while_loop(
+        cond, body, (jnp.int32(0), sol, r, r0, p, init_res, init_res <= 0.0)
     )
     return KrylovResult(sol, it, cur_res)
 
@@ -180,12 +198,60 @@ def minres(
     dot_fn: Callable = dot,
     norm_fn: Callable = norm_l2,
 ) -> KrylovResult:
-    """MinRes in three-term CR-like form (reference L3_MinResForEquation.scala)."""
-    return conjugate_residual(
-        A_apply, sol, rhs,
-        bc_sol=bc_sol, bc_res=bc_res, max_its=max_its,
-        res_reduction=res_reduction, dot_fn=dot_fn, norm_fn=norm_fn,
+    """MinRes (Paige & Saunders): Lanczos tridiagonalization + Givens QR
+    (reference solver/l3/L3_MinResForEquation.scala — distinct from CR;
+    valid for symmetric *indefinite* systems, e.g. the saddle-point
+    Stokes coarse problems).
+
+    Carries are the Lanczos pair (v_old, v), the two search directions
+    (w_old, w), the running Givens cosines/sines, and the residual-norm
+    estimate |eta| (exact in exact arithmetic)."""
+    r = bc_res(rhs - A_apply(sol))
+    init_res = norm_fn(r)
+    beta1 = init_res
+    safe_beta1 = jnp.where(beta1 > 0, beta1, 1.0)
+    v = r / safe_beta1
+    zeros = jnp.zeros_like(r)
+
+    def cond(c):
+        it = c[0]
+        done = c[-1]
+        return jnp.logical_and(it < max_its, jnp.logical_not(done))
+
+    def body(c):
+        (it, sol, v_old, v, beta, eta, c_old, c_cur, s_old, s_cur,
+         w_old, w, _, _) = c
+        # Lanczos step: v_new orthogonal to v, v_old
+        Av = A_apply(v)
+        alpha = dot_fn(v, Av)
+        v_new = bc_res(Av - alpha * v - beta * v_old)
+        beta_new = norm_fn(v_new)
+        v_new = v_new / jnp.where(beta_new > 0, beta_new, 1.0)
+        # apply previous two Givens rotations to the new tridiag column
+        delta = c_cur * alpha - c_old * s_cur * beta
+        rho2 = s_cur * alpha + c_old * c_cur * beta
+        rho3 = s_old * beta
+        rho1 = jnp.sqrt(delta * delta + beta_new * beta_new)
+        safe_rho1 = jnp.where(rho1 > 0, rho1, 1.0)
+        c_new = delta / safe_rho1
+        s_new = beta_new / safe_rho1
+        # update search direction and solution
+        w_new = (v - rho3 * w_old - rho2 * w) / safe_rho1
+        sol = bc_sol(sol + (c_new * eta) * w_new)
+        eta = -s_new * eta
+        next_res = jnp.abs(eta)
+        done = next_res <= res_reduction * init_res
+        return (it + 1, sol, v, v_new, beta_new, eta, c_cur, c_new,
+                s_cur, s_new, w, w_new, next_res, done)
+
+    init = (
+        jnp.int32(0), sol, zeros, v, jnp.zeros_like(beta1), beta1,
+        jnp.ones_like(beta1), jnp.ones_like(beta1),
+        jnp.zeros_like(beta1), jnp.zeros_like(beta1),
+        zeros, zeros, init_res, init_res <= 0.0,
     )
+    out = lax.while_loop(cond, body, init)
+    return KrylovResult(out[1], out[0], out[-2])
 
 
 SOLVERS = {

@@ -79,7 +79,7 @@ class Multigrid:
     coarse_solve: Callable  # (sol, rhs) -> sol
     n_pre: int = 3
     n_post: int = 3
-    cycle_type: str = "V"  # V | W
+    cycle_type: str = "V"  # V | W | F
     fas: bool = False
     # user hooks per stage (reference L3_SolverModification.scala:
     # prepend/append/replace statements per solver stage)
@@ -94,9 +94,16 @@ class Multigrid:
         fn = self.modifications.get(stage)
         return fn(level, sol, rhs) if fn is not None else (sol, rhs)
 
-    def cycle(self, sol, rhs, level: Optional[int] = None):
-        """One multigrid cycle on `level` (default finest)."""
+    def cycle(self, sol, rhs, level: Optional[int] = None, kind: Optional[str] = None):
+        """One multigrid cycle on `level` (default finest).
+
+        kind: V = one recursion; W = two recursions (same kind);
+        F = F-recursion followed by a V-recursion (Trottenberg F-cycle,
+        the `mg_cycle = "F"` Knowledge option)."""
         level = self.max_level if level is None else level
+        kind = self.cycle_type if kind is None else kind
+        if kind not in ("V", "W", "F"):
+            raise ValueError(f"unknown cycle type {kind!r} (V | W | F)")
         lv = self.levels[level]
 
         if level == self.min_level:
@@ -130,9 +137,12 @@ class Multigrid:
         else:
             sol_c = coarse.bc_sol(jnp.zeros(coarse.shape, res.dtype))
 
-        num_recurse = 2 if (self.cycle_type == "W" and level - 1 > self.min_level) else 1
-        for _ in range(num_recurse):
-            sol_c = self.cycle(sol_c, rhs_c, level - 1)
+        if level - 1 > self.min_level and kind in ("W", "F"):
+            recurse_kinds = ("W", "W") if kind == "W" else ("F", "V")
+        else:
+            recurse_kinds = (kind,)
+        for rk in recurse_kinds:
+            sol_c = self.cycle(sol_c, rhs_c, level - 1, kind=rk)
 
         corr = do_prolong(sol_c - sol_c0) if self.fas else do_prolong(sol_c)
         sol = lv.bc_sol(sol + corr)

@@ -274,6 +274,9 @@ def generate_solver(
             return sol
     else:
         krylov = SOLVERS[k.solver_cgs]
+        extra = {}
+        if k.solver_cgs_restart and k.solver_cgs in ("BiCGStab",):
+            extra["restart_after"] = k.solver_cgs_restartAfter
 
         def coarse_solve(sol, rhs, lv0=lv0):
             return krylov(
@@ -286,6 +289,7 @@ def generate_solver(
                 res_reduction=k.solver_cgs_targetResReduction,
                 dot_fn=lv0.dot_fn,
                 norm_fn=lv0.norm_fn,
+                **extra,
             ).sol
 
     mg = Multigrid(

@@ -30,7 +30,7 @@ CASES = [
 
 
 @pytest.mark.parametrize("suite,name", CASES, ids=[f"{s}/{n}" for s, n in CASES])
-def test_suite_golden(suite, name, reference_root):
+def test_suite_golden(suite, name, reference_root, tmp_path):
     base = os.path.join(reference_root, "Testing", suite, name)
     k = Knowledge()
     parse_config_file(base + ".knowledge", k)
@@ -38,6 +38,14 @@ def test_suite_golden(suite, name, reference_root):
     prog = parse_l4(base + ".exa4")
     lines = []
     L4Executable(prog, k, out=lines.append).run()
+    # compare through the native golden comparator (the run_test.py
+    # analog, EPS=1e-6 on numeric lines) ...
+    from exastencils_tpu import native
+
+    got = tmp_path / "out.txt"
+    got.write_text("".join(l + "\n" for l in lines))
+    assert native.check_results(str(got), base + ".results") == 0
+    # ... and digit-for-digit (round-1 parity is exact)
     with open(base + ".results") as f:
         golden = [l.strip() for l in f]
     assert [l.strip() for l in lines] == golden
