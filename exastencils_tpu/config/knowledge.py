@@ -143,6 +143,13 @@ class Knowledge:
 
     experimental_trimBoundsForReductionLoops: bool = True
 
+    # matrix-operation execution policy (reference config/Knowledge.scala:809-815)
+    experimental_resolveInverseFunctionCall: str = "Compiletime"  # | Runtime
+    experimental_resolveLocalMatSys: str = "Runtime"
+    experimental_evalMOpRuntimeExe: bool = False
+    experimental_MOpRTExeThreshold: int = 4
+    experimental_useNewMatrixStrategies: bool = False
+
     # performance model (reference performance/ir/IR_EvaluatePerformanceEstimates.scala)
     performance_printEstimation: bool = False
 

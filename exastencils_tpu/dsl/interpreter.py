@@ -27,6 +27,8 @@ from exastencils_tpu.config import Knowledge
 from exastencils_tpu.core.domain import AABB, Domain
 from exastencils_tpu.core.field import DirichletBC, Field, NeumannBC
 from exastencils_tpu.core.grid import CELL, FACES, NODE, LevelGrid, level_grids
+from exastencils_tpu.core import matval as MV
+from exastencils_tpu.core.matval import MatVal, is_mat
 from exastencils_tpu.core.stencil import BoundStencil, IntergridStencil, Stencil
 from exastencils_tpu.dsl import nodes as N
 from exastencils_tpu.ops.boundary import make_bc_applier
@@ -52,6 +54,35 @@ _MATH_FNS = {
 }
 
 
+def _dtype_info(dt: Optional[str]):
+    """Interpret a canonical datatype string (dsl/parser.parse_datatype):
+    returns (elem_shape, is_complex) — elem_shape () for scalars,
+    (r, c) for the Matrix/Vector family (reference datatypes,
+    L4_Parser.scala:175-205)."""
+    if not dt:
+        return (), False
+    dt = dt.replace(" ", "")
+    if "<" not in dt:
+        return (), dt == "Complex"
+    base, params = dt.split("<", 1)
+    params = params.rstrip(">")
+    is_c = params.startswith("Complex") or base == "Complex"
+    # split ints off the tail
+    ints = [p for p in params.split(",") if p.lstrip("-").isdigit()]
+    if base == "Matrix":
+        return (int(ints[-2]), int(ints[-1])), is_c
+    if base in ("ColumnVector", "Vector", "Tensor1"):
+        return (int(ints[-1]), 1), is_c
+    if base == "RowVector":
+        return (1, int(ints[-1])), is_c
+    if base == "Tensor2":
+        n = int(ints[-1])
+        return (n, n), is_c
+    if base == "Complex":
+        return (), True
+    return (), is_c
+
+
 class _Return(Exception):
     def __init__(self, value):
         self.value = value
@@ -69,6 +100,9 @@ class _FieldInfo:
     bc_by_level: Dict[int, object] = dc_field(default_factory=dict)  # BC instances
     num_slots: int = 1
     ghost: int = 1
+    elem_shape: Tuple[int, ...] = ()  # (r, c) for Matrix/Vector-valued fields
+    is_complex: bool = False
+    dup_layers: Optional[Tuple[int, ...]] = None  # None = default (1 per dim)
 
 
 @dataclass
@@ -128,8 +162,12 @@ class L4Executable:
             layout = self.layouts.get(fd.layout)
             loc = _LOC_MAP.get(layout.localization if layout else "Node", NODE)
             ghost = max(layout.ghost_layers) if layout and layout.ghost_layers else 1
+            elem_shape, is_cplx = _dtype_info(layout.datatype if layout else None)
+            dup = tuple(layout.dup_layers) if layout and layout.dup_layers is not None else None
             info = self.fields.setdefault(
-                fd.name, _FieldInfo(fd.name, loc, [], num_slots=fd.num_slots, ghost=ghost)
+                fd.name, _FieldInfo(fd.name, loc, [], num_slots=fd.num_slots,
+                                    ghost=ghost, elem_shape=elem_shape,
+                                    is_complex=is_cplx, dup_layers=dup)
             )
             info.levels = sorted(set(info.levels) | set(levels))
             bc = self._make_bc(fd.bc)
@@ -179,15 +217,13 @@ class L4Executable:
         self.state: Dict[Tuple[str, int], jnp.ndarray] = {}
         self.slot_index: Dict[Tuple[str, int], int] = {}
         self.globals: Dict[str, object] = {}
-        for g in program.globals_:
-            self.globals[g.name] = (
-                self._eval_const(g.init) if g.init is not None else 0.0
-            )
+        self.init_globals()
         self._bc_appliers: Dict[Tuple[str, int], object] = {}
         self._transfer_cache: Dict[Tuple, object] = {}
         self._frozen_ctx = None  # in-place-sweep frozen-halo context
         self._cout_precision = 6  # std::cout default (native() emulation)
         self._cout_saved = 6
+        self._pending_out = ""  # newline-less std::cout << segments
         self.init_fields_with_zero()
 
     # ------------------------------------------------------------------
@@ -308,14 +344,28 @@ class L4Executable:
     def field_shape(self, name: str, level: int) -> Tuple[int, ...]:
         return self.grids[level].shape_of(self.fields[name].localization)
 
+    @property
+    def complex_dtype(self):
+        return jnp.complex128 if np.dtype(self.dtype) == np.float64 else jnp.complex64
+
+    def _field_dtype(self, info: _FieldInfo):
+        return self.complex_dtype if info.is_complex else self.dtype
+
+    def init_globals(self):
+        """Evaluate Globals-block declarations in order (the generated
+        initGlobals(); later decls may reference earlier ones)."""
+        fr = Frame({}, None)
+        for g in self.prog.globals_:
+            self.globals[g.name] = self._coerce_decl(g, fr, None)
+
     def init_fields_with_zero(self):
         for info in self.fields.values():
             for lvl in info.levels:
-                shape = self.grids[lvl].shape_of(info.localization)
+                shape = self.grids[lvl].shape_of(info.localization) + info.elem_shape
                 if info.num_slots > 1:
                     shape = (info.num_slots,) + shape
                     self.slot_index[(info.name, lvl)] = 0
-                self.state[(info.name, lvl)] = jnp.zeros(shape, self.dtype)
+                self.state[(info.name, lvl)] = jnp.zeros(shape, self._field_dtype(info))
 
     def get_field(self, name: str, level: int, slot: Optional[str] = None):
         info = self.fields[name]
@@ -478,7 +528,7 @@ class L4Executable:
     def _eval_const(self, e, env: Optional[dict] = None):
         env = env or {}
         if isinstance(e, N.Num):
-            return e.value
+            return 1j * e.value if e.is_imag else e.value
         if isinstance(e, N.Str):
             return e.value
         if isinstance(e, N.UnOp):
@@ -530,13 +580,17 @@ class L4Executable:
     # runtime expression evaluation
     def eval_expr(self, e, fr: Frame, loop: Optional[_LoopCtx] = None):
         if isinstance(e, N.Num):
+            if e.is_imag:
+                return 1j * e.value
             return int(e.value) if e.is_int else e.value
         if isinstance(e, N.Str):
             return e.value
         if isinstance(e, N.UnOp):
             v = self.eval_expr(e.operand, fr, loop)
             if e.op == "-":
-                return -v
+                return v.map(jnp.negative) if is_mat(v) else -v
+            if e.op == "im":  # `(expr)j` imaginary suffix
+                return v * 1j
             return jnp.logical_not(v) if hasattr(v, "shape") else (not v)
         if isinstance(e, N.BinOp):
             return self._eval_binop(e, fr, loop)
@@ -544,7 +598,43 @@ class L4Executable:
             return self._eval_access(e, fr, loop)
         if isinstance(e, N.Call):
             return self._eval_call(e, fr, loop)
+        if isinstance(e, N.MatrixLit):
+            return self._eval_matrix_lit(e, fr, loop)
+        if isinstance(e, N.TensorLit):
+            return self._eval_tensor_lit(e, fr, loop)
         raise ValueError(f"cannot evaluate {e}")
+
+    def _eval_matrix_lit(self, e: N.MatrixLit, fr, loop) -> MatVal:
+        """`{{a,b},{c,d}}` / `{a,b}` literals -> MatVal of shape
+        batch + (r, c); grid-array entries (e.g. vf_* expressions in
+        stencil coefficients) become the batch dims (reference
+        IR_MatrixExpression)."""
+        rows = [[self.eval_expr(x, fr, loop) for x in row] for row in e.rows]
+        flat = [x for row in rows for x in row]
+        shapes = [getattr(x, "shape", ()) for x in flat]
+        batch = np.broadcast_shapes(*shapes) if any(shapes) else ()
+        is_cplx = any(jnp.iscomplexobj(x) for x in flat if hasattr(x, "dtype")) or any(
+            isinstance(x, complex) for x in flat
+        )
+        dtype = self.complex_dtype if is_cplx else self.dtype
+
+        def to_arr(x):
+            a = jnp.asarray(x, dtype)
+            return jnp.broadcast_to(a, batch) if batch else a
+
+        data = jnp.stack(
+            [jnp.stack([to_arr(x) for x in row], axis=-1) for row in rows], axis=-2
+        )
+        return MatVal(data)
+
+    def _eval_tensor_lit(self, e: N.TensorLit, fr, loop) -> MatVal:
+        shape = (e.dim, 1) if e.order == 1 else (e.dim, e.dim)
+        data = jnp.zeros(shape, self.dtype)
+        for idx, ex in e.entries:
+            v = self.eval_expr(ex, fr, loop)
+            pos = (idx[0], 0) if e.order == 1 else tuple(idx)
+            data = data.at[pos].set(v)
+        return MatVal(data)
 
     def _resolve_level(self, spec: Optional[N.LevelSpec], fr: Frame) -> Optional[int]:
         if spec is None:
@@ -557,7 +647,7 @@ class L4Executable:
     def _eval_access(self, e: N.Access, fr: Frame, loop):
         name = e.name
         if name in fr.vars:
-            return fr.vars[name]
+            return self._maybe_component(fr.vars[name], e, fr, loop)
         if name == "PI":
             return math.pi
         if name in ("i0", "i1", "i2") and loop is not None:
@@ -572,38 +662,106 @@ class L4Executable:
         if name == "levels":
             return self._resolve_level(e.level, fr)
         if name in self.fields:
+            info = self.fields[name]
             lvl = self._resolve_level(e.level, fr)
             arr = self.get_field(name, lvl, e.slot)
-            return self._to_loop_space(arr, e.offset, loop)
+            offset, comp = e.offset, e.component
+            if comp and not info.elem_shape and offset is None \
+                    and len(comp) == 1 and comp[0][0] == "idx":
+                # `u[1]` on a scalar 1D field: parser ambiguity — it is a
+                # stencil offset, not a component access
+                offset = (int(self._eval_const(comp[0][1])),)
+                comp = None
+            val = self._to_loop_space(arr, offset, loop,
+                                      elem_ndim=len(info.elem_shape))
+            if info.elem_shape:
+                val = MatVal(val)
+            if comp:
+                val = self._apply_component(val, comp, fr, loop)
+            return val
         if name in self.stencils:
             lvl = self._resolve_level(e.level, fr)
             return ("__stencil__", self._stencil_at(name, lvl), lvl)
         if name in self.globals:
-            return self.globals[name]
+            return self._maybe_component(self.globals[name], e, fr, loop)
         raise ValueError(f"unknown identifier {name!r}")
 
-    def _to_loop_space(self, arr, offset, loop):
+    def _maybe_component(self, val, e: N.Access, fr, loop):
+        if e.component:
+            return self._apply_component(val, e.component, fr, loop)
+        return val
+
+    def _comp_specs(self, comps, fr, loop):
+        """Evaluate component-group index expressions (static slices,
+        int or traced-int point indices)."""
+        out = []
+        for c in comps:
+            if c[0] == "idx":
+                out.append(("idx", self.eval_expr(c[1], fr, loop)))
+            else:
+                lo = None if c[1] is None else int(self.eval_expr(c[1], fr, loop))
+                hi = None if c[2] is None else int(self.eval_expr(c[2], fr, loop))
+                out.append(("slice", lo, hi))
+        return out
+
+    def _apply_component(self, val, comps, fr, loop):
+        """Matrix/vector component read (reference
+        IR_MatNodes/IR_GetElement, IR_GetSlice; L4 `m[i][j]`, `m[a:b][:]`,
+        `v[i]`): int+int -> scalar; any slice keeps matrixness (an int
+        index becomes a size-1 extent, matching the reference's
+        Matrix<1,n> slice results)."""
+        if not is_mat(val):
+            raise ValueError("component access on non-matrix value")
+        specs = self._comp_specs(comps, fr, loop)
+        if len(specs) == 1:
+            # flat vector indexing: column vectors index rows, row vectors
+            # index columns; matrices index rows
+            if val.cols == 1:
+                specs = [specs[0], ("idx", 0)]
+            elif val.rows == 1:
+                specs = [("idx", 0), specs[0]]
+            else:
+                specs = [specs[0], ("slice", None, None)]
+        (k1, *a1), (k2, *a2) = specs
+        if k1 == "idx" and k2 == "idx":
+            i = a1[0] if hasattr(a1[0], "shape") else int(a1[0])
+            j = a2[0] if hasattr(a2[0], "shape") else int(a2[0])
+            return val.data[..., i, j]
+
+        def to_slice(k, a):
+            if k == "idx":
+                i = int(a[0])
+                return slice(i, i + 1)
+            return slice(a[0], a[1])
+
+        return MatVal(val.data[..., to_slice(k1, a1), to_slice(k2, a2)])
+
+    def _to_loop_space(self, arr, offset, loop, elem_ndim: int = 0):
         """Map a field array into the current loop's index space:
         out[i] = arr[i + offset], zero beyond bounds.  Handles mixed
         localizations on staggered grids (shapes differ by +-1 per dim,
-        reference field accesses with offsets like `u@[1,0]`)."""
+        reference field accesses with offsets like `u@[1,0]`); trailing
+        `elem_ndim` dims (matrix-valued fields) pass through untouched."""
+        gshape = arr.shape[: arr.ndim - elem_ndim]
         if loop is None:
             return arr if not offset else _shift(arr, offset)
         shape = loop.shape
-        if arr.shape == tuple(shape) and not offset:
+        if gshape == tuple(shape) and not offset:
             return arr
-        if len(arr.shape) != len(shape) or any(
-            abs(a - b) > 1 for a, b in zip(arr.shape, shape)
+        if len(gshape) != len(shape) or any(
+            abs(a - b) > 1 for a, b in zip(gshape, shape)
         ):
             return arr if not offset else _shift(arr, offset)  # cross-level etc.
         off = offset or (0,) * len(shape)
         lo_pad = [max(0, -o) for o in off]
-        hi_pad = [max(0, o + shape[d] - arr.shape[d]) for d, o in enumerate(off)]
+        hi_pad = [max(0, o + shape[d] - gshape[d]) for d, o in enumerate(off)]
         if any(lo_pad) or any(hi_pad):
-            arr = jnp.pad(arr, tuple(zip(lo_pad, hi_pad)))
-        return arr[tuple(
+            pads = tuple(zip(lo_pad, hi_pad)) + ((0, 0),) * elem_ndim
+            arr = jnp.pad(arr, pads)
+        sl = tuple(
             slice(o + lo_pad[d], o + lo_pad[d] + shape[d]) for d, o in enumerate(off)
-        )]
+        )
+        return arr[sl]
 
     def _eval_virtual_field(self, name: str, fr: Frame, loop):
         lvl = loop.level if loop is not None else fr.level
@@ -768,20 +926,127 @@ class L4Executable:
             v = self.eval_expr(e.args[0], fr, loop)
             if _is_stencil(v):
                 return ("__stencil__", v[1].transposed(), v[2])
+            if is_mat(v):
+                return MV.transpose(v)
             return jnp.swapaxes(v, -1, -2)
         if name == "dot":
-            # L3 field dot product: sum over all grid points
-            # (solver/l3 L3_FieldFieldConvolution)
             a = self.eval_expr(e.args[0], fr, loop)
             b = self.eval_expr(e.args[1], fr, loop)
+            if is_mat(a) and is_mat(b):
+                return MV.dot_product(a, b)
+            # L3 field dot product: sum over all grid points
+            # (solver/l3 L3_FieldFieldConvolution)
             return jnp.sum(a * b)
+        # ---- matrix builtins (reference baseExt/ir/IR_MatNodes/*) ----
+        if name == "dotProduct":
+            return MV.dot_product(self.eval_expr(e.args[0], fr, loop),
+                                  self.eval_expr(e.args[1], fr, loop))
+        if name == "cross":
+            return MV.cross(self.eval_expr(e.args[0], fr, loop),
+                            self.eval_expr(e.args[1], fr, loop))
+        if name == "trace":
+            return MV.trace(self.eval_expr(e.args[0], fr, loop))
+        if name in ("det", "determinant"):
+            v = self.eval_expr(e.args[0], fr, loop)
+            return MV.determinant(v) if is_mat(v) else v
+        if name in ("inverse", "inv"):
+            # extra string args are shape hints ("shape=schur", "block=6",
+            # IR_ClassifyMatShape.scala) selecting the reference's inversion
+            # algorithm; the batched LU inverse handles every shape here
+            v = self.eval_expr(e.args[0], fr, loop)
+            if _is_stencil(v):
+                raise ValueError("stencil inverse not supported; use diag_inv")
+            return MV.inverse(v)
+        if name in ("norm", "frobeniusNorm"):
+            v = self.eval_expr(e.args[0], fr, loop)
+            if is_mat(v):
+                return MV.frobenius_norm(v)
+            if (hasattr(v, "dtype") and jnp.iscomplexobj(v)) or isinstance(v, complex):
+                # std::norm semantics: |z|^2 (ComplexNumbers/BasicFunc)
+                a = jnp.abs(v) if hasattr(v, "dtype") else abs(v)
+                return a * a
+            return jnp.sqrt(jnp.sum(jnp.asarray(v) ** 2))
+        if name == "getElement":
+            m = self.eval_expr(e.args[0], fr, loop)
+            i = int(self.eval_expr(e.args[1], fr, loop))
+            j = int(self.eval_expr(e.args[2], fr, loop))
+            return m.data[..., i, j]
+        if name == "setElement":
+            self._mutate_matrix_var(
+                e.args[0], fr, loop,
+                lambda m: MatVal(m.data.at[
+                    ..., int(self.eval_expr(e.args[1], fr, loop)),
+                    int(self.eval_expr(e.args[2], fr, loop))
+                ].set(self.eval_expr(e.args[3], fr, loop))))
+            return None
+        if name == "getSlice":
+            args = [self.eval_expr(a, fr, loop) for a in e.args]
+            return MV.get_slice(*args)
+        if name == "setSlice":
+            vals = [self.eval_expr(a, fr, loop) for a in e.args[1:]]
+            self._mutate_matrix_var(
+                e.args[0], fr, loop, lambda m: MV.set_slice(m, *vals))
+            return None
+        if name == "toMatrix":
+            return self.eval_expr(e.args[0], fr, loop)
+        if name == "compare":
+            return self._builtin_compare(e, fr, loop)
+        if name == "classifyMatShape":
+            # compile-time matrix structure classifier (reference
+            # IR_ClassifyMatShape.isSchurOrBlockdiag, printed via
+            # IR_ResolveMatrices.scala:303-305)
+            m = self.eval_expr(e.args[0], fr, loop)
+            M = np.asarray(m.data) != 0
+            self.emit("".join(_classify_mat_shape(M)))
+            return None
+        if name == "evalMOpRuntimeExe":
+            # compiletime-vs-runtime execution report (reference
+            # IR_EvalMOpRuntimeExe.scala:9-27; printed without newline)
+            is_const = isinstance(e.args[0], N.MatrixLit) and all(
+                isinstance(x, N.Num)
+                or (isinstance(x, N.UnOp) and isinstance(x.operand, N.Num))
+                for row in e.args[0].rows for x in row
+            )
+            m = self.eval_expr(e.args[0], fr, loop)
+            if not self.k.experimental_evalMOpRuntimeExe:
+                word = self.k.experimental_resolveLocalMatSys
+            elif is_const:
+                word = "Compiletime"
+            else:
+                word = "Compiletime" if m.rows <= self.k.experimental_MOpRTExeThreshold else "Runtime"
+            self.emit(word, newline=False)
+            return None
+        # ---- complex builtins (reference ComplexNumbers/) ----
+        if name in ("Re", "re", "real"):
+            v = self.eval_expr(e.args[0], fr, loop)
+            return jnp.real(v) if hasattr(v, "dtype") else complex(v).real
+        if name in ("Im", "im", "imag"):
+            v = self.eval_expr(e.args[0], fr, loop)
+            return jnp.imag(v) if hasattr(v, "dtype") else complex(v).imag
+        if name == "conj":
+            return jnp.conj(self.eval_expr(e.args[0], fr, loop))
+        if name == "arg":
+            return jnp.angle(self.eval_expr(e.args[0], fr, loop))
+        if name == "polar":
+            r = self.eval_expr(e.args[0], fr, loop)
+            th = self.eval_expr(e.args[1], fr, loop)
+            return r * jnp.exp(1j * jnp.asarray(th))
+        if name == "notEqual":
+            # reference IR_ComplexNumberNotEqual: |d(re)| > 1e-12 or
+            # |d(im)| > 1e-13 (IR_ComplexNumberAccess.scala:54)
+            a = self.eval_expr(e.args[0], fr, loop)
+            b = self.eval_expr(e.args[1], fr, loop)
+            return jnp.logical_or(
+                jnp.abs(jnp.real(a) - jnp.real(b)) > 1e-12,
+                jnp.abs(jnp.imag(a) - jnp.imag(b)) > 1e-13,
+            )
         if name == "getKnowledge":
             return self._get_knowledge(e.args)
         if name == "levels":
             return self._resolve_level(e.level, fr)
         if name == "print":
             vals = [self.eval_expr(a, fr, loop) for a in e.args]
-            self.out(" ".join(_fmt(v, self._cout_precision) for v in vals))
+            self.emit(" ".join(_fmt(v, self._cout_precision) for v in vals))
             return None
         if name == "native":
             # emulate the generated std::cout stream-precision calls the
@@ -801,7 +1066,7 @@ class L4Executable:
             return None
         if name == "printWithReducedPrec":
             v = float(self.eval_expr(e.args[0], fr, loop))
-            self.out(reduced_prec_str(v, self.k.testing_maxPrecision, self.k.testing_zeroThreshold))
+            self.emit(reduced_prec_str(v, self.k.testing_maxPrecision, self.k.testing_zeroThreshold))
             return None
         if name == "startTimer":
             self.timers.start(str(self.eval_expr(e.args[0], fr, loop)))
@@ -821,9 +1086,11 @@ class L4Executable:
         if name == "initFieldsWithZero":
             self.init_fields_with_zero()
             return None
+        if name == "initGlobals":
+            self.init_globals()
+            return None
         if name in (
-            "initGlobals", "initDomain", "initGeometry", "destroyGlobals",
-            "initFragments",
+            "initDomain", "initGeometry", "destroyGlobals", "initFragments",
         ):
             return None
         if name == "writeField":
@@ -866,6 +1133,52 @@ class L4Executable:
             return self.call_function(self.functions[fkey], lvl, args)
         raise ValueError(f"unknown function {name!r}")
 
+    def _mutate_matrix_var(self, target, fr: Frame, loop, fn):
+        """In-place matrix mutation builtins (setElement/setSlice) write
+        back through the variable/global/field the access names."""
+        if not isinstance(target, N.Access):
+            raise ValueError("matrix mutation target must be a named access")
+        name = target.name
+        if name in fr.vars:
+            fr.vars[name] = fn(fr.vars[name])
+            return
+        if name in self.globals:
+            self.globals[name] = fn(self.globals[name])
+            return
+        if name in self.fields:
+            lvl = self._resolve_level(target.level, fr)
+            arr = self.get_field(name, lvl, target.slot)
+            self.set_field(name, lvl, fn(MatVal(arr)).data, target.slot)
+            return
+        raise ValueError(f"unknown matrix variable {name!r}")
+
+    def _builtin_compare(self, e: N.Call, fr: Frame, loop):
+        """`compare(a, b, prec[, abortOnMismatch])` (reference
+        IR_GenerateBasicMatrixOperations compare): silent on match,
+        prints a diagnostic line on mismatch — golden suites rely on the
+        silence of passing stages."""
+        a = self.eval_expr(e.args[0], fr, loop)
+        b = self.eval_expr(e.args[1], fr, loop)
+        prec = float(self.eval_expr(e.args[2], fr, loop)) if len(e.args) > 2 else 1e-6
+        da = a.data if is_mat(a) else jnp.asarray(a)
+        db = b.data if is_mat(b) else jnp.asarray(b)
+        # jnp broadcasting covers 1x1-vs-scalar and grid-batched-vs-
+        # constant comparisons
+        adiff = jnp.abs(da - db)
+        if loop is not None and loop.mask is not None and adiff.ndim >= len(loop.shape):
+            # compare() inside a masked loop is a per-point statement:
+            # only loop-visited points participate (the reference's
+            # compare expands inside the loop nest)
+            e_nd = adiff.ndim - len(loop.shape)
+            m = loop.mask[(...,) + (None,) * e_nd] if e_nd else loop.mask
+            adiff = jnp.where(m, adiff, 0.0)
+        diff = jnp.max(adiff)
+        if bool(diff > prec):
+            self.emit(
+                f"compare: mismatch (max |a-b| = {float(diff):.6g} > {prec:g})"
+            )
+        return None
+
     # ------------------------------------------------------------------
     def call_function(self, fn: N.FunctionDecl, level: Optional[int], args):
         fr = Frame(dict(zip((p[0] for p in fn.params), args)), level)
@@ -875,6 +1188,20 @@ class L4Executable:
             return r.value
         return None
 
+    def emit(self, text: str, newline: bool = True):
+        """Line-buffered output: `std::cout <<` segments without an endl
+        (e.g. evalMOpRuntimeExe) accumulate until the next newline."""
+        if newline:
+            self.out(self._pending_out + text)
+            self._pending_out = ""
+        else:
+            self._pending_out += text
+
+    def flush_out(self):
+        if self._pending_out:
+            self.out(self._pending_out)
+            self._pending_out = ""
+
     def run(self, function: str = "Application"):
         """Execute `Function Application` (reference main(), §3.3)."""
         fkey = (function, None)
@@ -883,7 +1210,10 @@ class L4Executable:
             if not candidates:
                 raise ValueError(f"no function {function!r}")
             fkey = candidates[0]
-        return self.call_function(self.functions[fkey], fkey[1], [])
+        try:
+            return self.call_function(self.functions[fkey], fkey[1], [])
+        finally:
+            self.flush_out()
 
     # ------------------------------------------------------------------
     # statements
@@ -908,10 +1238,7 @@ class L4Executable:
 
     def exec_stmt(self, s: N.Stmt, fr: Frame, loop: Optional[_LoopCtx] = None):
         if isinstance(s, N.VarDecl):
-            val = self.eval_expr(s.init, fr, loop) if s.init is not None else 0.0
-            if s.datatype in ("Int", "Integer") and not hasattr(val, "shape"):
-                val = int(val)
-            fr.vars[s.name] = val
+            fr.vars[s.name] = self._coerce_decl(s, fr, loop)
         elif isinstance(s, N.Assign):
             self._exec_assign(s, fr, loop)
         elif isinstance(s, N.If):
@@ -955,6 +1282,11 @@ class L4Executable:
             levels = s.levels.resolve(self.lo, self.hi, fr.level)
             if fr.level in levels:
                 self.exec_block(s.body, fr, loop)
+        elif isinstance(s, N.SolveMatSys):
+            A = self.eval_expr(s.A, fr, loop)
+            f = self.eval_expr(s.f, fr, loop)
+            sol = MatVal(jnp.linalg.solve(A.data, f.data))
+            self._mutate_matrix_var(s.u, fr, loop, lambda _cur: sol)
         elif isinstance(s, N.SolveLocally):
             self._exec_solve_locally(s, fr, loop)
         elif isinstance(s, N.Communicate):
@@ -976,18 +1308,64 @@ class L4Executable:
         else:
             raise ValueError(f"cannot execute {s}")
 
+    def _coerce_decl(self, s: N.VarDecl, fr: Frame, loop):
+        """Var/Val initialization coerced to the declared datatype:
+        Matrix/Vector shapes are enforced (a flat `{a,b,c}` literal
+        reshapes to RowVector/Matrix<1,n> as declared), 1x1 matrices
+        collapse into scalar declarations, Int casts, Complex promotes
+        (reference L4 variable declarations + IR_MatrixExpression
+        shape inference)."""
+        val = self.eval_expr(s.init, fr, loop) if s.init is not None else None
+        elem_shape, is_cplx = _dtype_info(s.datatype)
+        if elem_shape:
+            dtype = self.complex_dtype if is_cplx else self.dtype
+            if val is None:
+                return MatVal(jnp.zeros(elem_shape, dtype))
+            if is_mat(val):
+                if val.batch == () and (val.rows, val.cols) != elem_shape \
+                        and val.rows * val.cols == elem_shape[0] * elem_shape[1]:
+                    return MatVal(val.data.reshape(elem_shape))
+                return val
+            # scalar init broadcast over all entries
+            return MatVal(jnp.full(elem_shape, val, dtype))
+        if is_mat(val):
+            if val.rows == 1 and val.cols == 1:
+                val = val.data[..., 0, 0]
+            else:
+                return val  # tolerate matrix value in untyped decl
+        if val is None:
+            return 1j * 0.0 if is_cplx else 0.0
+        if is_cplx and not (hasattr(val, "dtype") and jnp.iscomplexobj(val)) \
+                and not isinstance(val, complex):
+            val = val + 0.0j
+        if s.datatype in ("Int", "Integer") and getattr(val, "shape", ()) == ():
+            f = float(val)
+            # C++ double->int truncates; but LU-based det/inverse return
+            # 406.99999... where the reference's exact Laplace expansion
+            # returns 407 — snap to the integer when within rounding noise
+            val = int(round(f)) if abs(f - round(f)) < 1e-6 else int(f)
+        return val
+
     def _exec_assign(self, s: N.Assign, fr: Frame, loop):
         t = s.target
         if t.name in self.fields:
+            info = self.fields[t.name]
             lvl = self._resolve_level(t.level, fr)
-            loc = self.fields[t.name].localization
+            loc = info.localization
             sub = _LoopCtx(lvl, loc, self.field_shape(t.name, lvl),
                            mask=loop.mask if loop and loop.level == lvl else None)
             val = self.eval_expr(s.value, fr, sub)
             cur = self.get_field(t.name, lvl, t.slot)
-            new = _apply_assign(s.op, cur, val)
-            if sub.mask is not None:
-                new = jnp.where(sub.mask, new, cur)
+            e_nd = len(info.elem_shape)
+            if e_nd and t.component:
+                new = self._component_write(cur, t.component, s.op, val,
+                                            sub.mask, fr, sub)
+            else:
+                v = val.data if is_mat(val) else val
+                new = _apply_assign(s.op, cur, v)
+                if sub.mask is not None:
+                    m = sub.mask[(...,) + (None,) * e_nd] if e_nd else sub.mask
+                    new = jnp.where(m, new, cur)
             self.set_field(t.name, lvl, new, t.slot)
             return
         # scalar variable (possibly a reduction accumulator)
@@ -998,7 +1376,59 @@ class L4Executable:
             self._exec_reduction_assign(s, fr, loop, cur_env)
             return
         val = self.eval_expr(s.value, fr, loop)
-        cur_env[t.name] = _apply_assign(s.op, cur_env.get(t.name, 0.0), val)
+        if t.component:
+            cur = cur_env.get(t.name)
+            if not is_mat(cur):
+                raise ValueError(f"component assignment to non-matrix {t.name!r}")
+            cur_env[t.name] = MatVal(self._component_write(
+                cur.data, t.component, s.op, val, None, fr, loop))
+            return
+        cur = cur_env.get(t.name, 0.0)
+        if is_mat(cur) and not is_mat(val):
+            # whole-matrix assignment from a broadcastable scalar
+            cur_env[t.name] = MV.mat_binop(
+                {"=": "*", "+=": "+", "-=": "-", "*=": "*", "/=": "/"}[s.op],
+                cur if s.op != "=" else MatVal(jnp.ones_like(cur.data)), val)
+            return
+        cur_env[t.name] = _apply_assign(s.op, cur, val)
+
+    def _component_write(self, data, comps, op, val, mask, fr, loop):
+        """`m[i][j] (+)= v` / `m[a:b][:] = v` on an array with trailing
+        (r, c) element dims (reference IR_SetElement / IR_SetSlice);
+        `mask` (grid-shaped) confines the update inside masked loops."""
+        specs = self._comp_specs(comps, fr, loop)
+        if len(specs) == 1:
+            r, c = data.shape[-2], data.shape[-1]
+            if c == 1:
+                specs = [specs[0], ("idx", 0)]
+            elif r == 1:
+                specs = [("idx", 0), specs[0]]
+            else:
+                specs = [specs[0], ("slice", None, None)]
+
+        def to_index(k, a):
+            if k == "idx":
+                return int(a[0])
+            return slice(a[0], a[1])
+
+        idx = (..., to_index(*[specs[0][0], specs[0][1:]]),
+               to_index(*[specs[1][0], specs[1][1:]]))
+        sub = data[idx]
+        v = val.data if is_mat(val) else val
+        if is_mat(val) and isinstance(idx[-2], int) is False and isinstance(idx[-1], int) is False:
+            pass  # shapes align (slice, slice)
+        elif is_mat(val):
+            # assigning a matrix into an int-indexed (collapsed) target:
+            # squeeze size-1 dims of the value
+            v = jnp.squeeze(v, axis=tuple(
+                ax for ax in (-2, -1) if v.shape[ax] == 1
+            )) if v.ndim >= 2 else v
+        new_sub = _apply_assign(op, sub, v)
+        if mask is not None:
+            e_nd = new_sub.ndim - len(mask.shape)
+            m = mask[(...,) + (None,) * e_nd] if e_nd > 0 else mask
+            new_sub = jnp.where(m, new_sub, sub)
+        return data.at[idx].set(jnp.broadcast_to(new_sub, sub.shape))
 
     def _exec_reduction_assign(self, s: N.Assign, fr: Frame, loop: _LoopCtx, env):
         """`redvar += expr` / `redvar = max(redvar, expr)` inside a
@@ -1047,7 +1477,8 @@ class L4Executable:
             # default iteration space eliminates 'real' (physical domain)
             # boundaries along node-localized dims
             # (IR_LoopOverPointsInOneFragment.scala:73-101 IterationOffsets)
-            bmask = self._node_interior_mask(info.localization, shape)
+            bmask = self._node_interior_mask(
+                info.localization, shape, info.dup_layers)
             if bmask is not None:
                 loop.mask = bmask
         if color_ctx is not None:
@@ -1257,15 +1688,23 @@ class L4Executable:
                 out |= self._referenced_names(a)
         return out
 
-    def _node_interior_mask(self, loc, shape):
+    def _node_interior_mask(self, loc, shape, dup_layers=None):
         """False on physical-boundary planes along node-localized dims
-        (None when nothing is excluded, e.g. pure cell fields)."""
+        (None when nothing is excluded, e.g. pure cell fields).  Only
+        dims with duplicate layers exclude their boundary planes: the
+        reference's IterationOffsets come from the dup-layer bounds, so
+        a `duplicateLayers = [0, 0]` layout iterates every point
+        (IR_LoopOverPointsInOneFragment.scala:73-101)."""
         nd = len(shape)
         if loc == NODE:
             dims = list(range(nd))
         elif loc in FACES:
             dims = [FACES.index(loc)]
         else:
+            return None
+        if dup_layers is not None:
+            dims = [d for d in dims if d < len(dup_layers) and dup_layers[d] > 0]
+        if not dims:
             return None
         m = None
         for d in dims:
@@ -1479,6 +1918,52 @@ class L4Executable:
         return v
 
 
+def _classify_mat_shape(M) -> List[str]:
+    """Port of the reference's compile-time structure analysis
+    (baseExt/ir/IR_ClassifyMatShape.scala:174-300 isSchurOrBlockdiag):
+    detects diagonal / blockdiagonal(block) / schur(block, A, Ablock)
+    forms from the nonzero pattern M (2D bool array)."""
+    size = M.shape[0]
+    if size == 1 or M.shape[1] == 1:
+        return ["shape=filled"]
+    # blocksize of the leading (block)diagonal A
+    bA = 1
+    while bA < size:
+        if not any(M[i, bA] or M[bA, i] for i in range(bA)):
+            break
+        bA += 1
+    # blocksize of the trailing Schur block D
+    bD = 0
+    while bD < size:
+        if not any(
+            M[i, size - bD - 1] or M[size - bD - 1, i]
+            for i in range(size - bD - bA)
+        ):
+            break
+        bD += 1
+    if bD == size:
+        return ["shape=filled"]
+    if bA >= (size - bD) // 2 + 1:
+        return ["shape=filled"]
+    border = size - bD
+    for i in range(border):
+        start = (i // bA) * bA + bA
+        for j in range(start, border):
+            if M[i, j] or M[j, i]:
+                return ["shape=filled"]
+    if bD == 0:
+        if bA == 1:
+            return ["shape=diagonal"]
+        if bA == size:
+            return ["shape=filled"]
+        return ["shape=blockdiagonal", f"block={bA}"]
+    if bA == 1:
+        return ["shape=schur", f"block={size - bD}", "A=diagonal"]
+    if bA == size:
+        return ["shape=filled"]
+    return ["shape=schur", f"block={size - bD}", "A=blockdiagonal", f"Ablock={bA}"]
+
+
 def _is_stencil(v) -> bool:
     return isinstance(v, tuple) and len(v) == 3 and v[0] == "__stencil__"
 
@@ -1498,6 +1983,10 @@ def _scale_stencil(st, s):
 
 
 def _apply_binop(op, a, b):
+    if is_mat(a) or is_mat(b):
+        return MV.mat_binop(op, a, b)
+    # elementwise-operator spellings degenerate to scalar ops off-matrix
+    op = {".*": "*", "./": "/", ".^": "**", ".%": "**"}.get(op, op)
     if op == "+":
         return a + b
     if op == "-":
@@ -1546,21 +2035,35 @@ def _apply_assign(op, cur, val):
 
 
 def _shift(arr, offset):
-    """Field access with constant offset: zero-padded shifted view."""
+    """Field access with constant offset: zero-padded shifted view.
+    Only the leading len(offset) dims shift (trailing matrix-element
+    dims pass through)."""
     r = max(abs(o) for o in offset)
     if r == 0:
         return arr
-    xp = jnp.pad(arr, r)
+    extra = arr.ndim - len(offset)
+    pads = ((r, r),) * len(offset) + ((0, 0),) * extra
+    xp = jnp.pad(arr, pads)
     sl = tuple(slice(r + o, r + o + n) for o, n in zip(offset, arr.shape))
     return xp[sl]
 
 
 def _fmt(v, precision: int = 6) -> str:
     """C++ `std::cout <<` default formatting at the current stream
-    precision (%.Ng general form)."""
+    precision (%.Ng general form; std::complex prints `(re,im)`)."""
     if isinstance(v, str):
         return v
+    if is_mat(v):
+        flat = np.asarray(v.data).reshape(-1)
+        return "[" + " ".join(_fmt(x, precision) for x in flat) + "]"
+    if isinstance(v, complex) or (hasattr(v, "dtype") and np.iscomplexobj(v)):
+        c = complex(v)
+        return "(%s,%s)" % (
+            "%.*g" % (precision, c.real), "%.*g" % (precision, c.imag)
+        )
     if isinstance(v, (int, np.integer)):
         return str(int(v))
+    if isinstance(v, (bool, np.bool_)):
+        return "1" if v else "0"
     f = float(v)
     return "%.*g" % (precision, f)

@@ -24,10 +24,12 @@ KEYWORDS = {
     "LayoutTransformations", "Knowledge", "noinline",
 }
 
-# multi-char operators first
+# multi-char operators first (elementwise matrix ops .* ./ .^ .% come
+# from the reference's matrix grammar, parsers/l4 matrix productions)
 _OPS = [
+    ".*", "./", ".^", ".%",
     "**", "==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "=>",
-    "++", "--", "%", "+", "-", "*", "/", "(", ")", "[", "]", "{", "}",
+    ":=", "++", "--", "%", "+", "-", "*", "/", "(", ")", "[", "]", "{", "}",
     "<", ">", ",", "=", "@", ":", ";", "!", ".",
 ]
 _OP_RE = "|".join(re.escape(o) for o in _OPS)
@@ -36,6 +38,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<imag>((\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?)j(?![\w]))
   | (?P<real>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)(?!\w)|\d+\.\d*|\.\d+)
   | (?P<int>\d+)
   | (?P<string>"[^"]*"|'[^']*')
@@ -82,6 +85,9 @@ def tokenize(src: str, filename: str = "<l4>") -> List[Token]:
                 tokens.append(Token("keyword", text, line, col))
             elif kind == "string":
                 tokens.append(Token("string", text[1:-1], line, col))
+            elif kind == "imag":
+                # complex literal `0.5j` (ComplexNumbers suites)
+                tokens.append(Token("imag", text[:-1], line, col))
             else:
                 tokens.append(Token(kind, text, line, col))
         pos = m.end()

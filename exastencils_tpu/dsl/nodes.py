@@ -102,6 +102,7 @@ class Expr:
 class Num(Expr):
     value: float
     is_int: bool = False
+    is_imag: bool = False  # `0.5j` complex literal (ComplexNumbers/)
 
 
 @dataclass
@@ -132,7 +133,9 @@ class Access(Expr):
     level: Optional[LevelSpec] = None
     offset: Optional[Tuple[int, ...]] = None
     slot: Optional[str] = None  # 'active' | 'next' | 'previous' | int as str
-    component: Optional[Tuple[int, ...]] = None  # matrix/vector component
+    # matrix/vector component access `m[i][j]`, `m[0:2][:]`, `v[i]`:
+    # list of ('idx', expr) | ('slice', lo_expr|None, hi_expr|None)
+    component: Optional[Tuple] = None
 
 
 @dataclass
@@ -140,6 +143,16 @@ class Call(Expr):
     name: str
     level: Optional[LevelSpec]
     args: List[Expr]
+
+
+@dataclass
+class TensorLit(Expr):
+    """`tens1{ n ; [i] := v, ... }` / `tens2{ n ; [i,j] := v, ... }`
+    (baseExt tensor expressions, Testing/TensorClass)."""
+
+    order: int
+    dim: int
+    entries: List[Tuple[Tuple[int, ...], "Expr"]]
 
 
 @dataclass
@@ -269,6 +282,17 @@ class Break(Stmt):
 @dataclass
 class ExprStmt(Stmt):
     expr: Expr
+
+
+@dataclass
+class SolveMatSys(Stmt):
+    """`solveMatSys A, u, f [{shape=...}]` — dense local system solve
+    (L4_Parser.scala:349, IR_MatrixSolveOps); shape hints are accepted
+    and ignored (XLA's batched LU solves all shapes)."""
+
+    A: Access
+    u: Access
+    f: Access
 
 
 @dataclass

@@ -216,22 +216,27 @@ class L4Parser:
         ts.expect("op", "}")
         return decl
 
+    _GENERIC_DTYPES = (
+        "Matrix", "Vector", "ColumnVector", "RowVector", "Complex",
+        "Tensor1", "Tensor2", "TensorN",
+    )
+
     def parse_datatype(self) -> str:
+        """Canonical datatype string, e.g. `Matrix<Real,2,2>`,
+        `Complex<Double>` (reference L4_Parser.scala:175-205)."""
         ts = self.ts
         base = ts.next().value
-        if base in ("Matrix", "Vector", "ColumnVector", "RowVector", "Complex"):
-            parts = [base]
-            if ts.accept("op", "<"):
-                depth = 1
-                while depth:
-                    t = ts.next()
-                    if t.value == "<":
-                        depth += 1
-                    elif t.value == ">":
-                        depth -= 1
-                    if depth:
-                        parts.append(t.value)
-            return " ".join(parts)
+        if base in self._GENERIC_DTYPES and ts.accept("op", "<"):
+            parts = []
+            while True:
+                if ts.at("int"):
+                    parts.append(ts.next().value)
+                else:
+                    parts.append(self.parse_datatype())
+                if not ts.accept("op", ","):
+                    break
+            ts.expect("op", ">")
+            return f"{base}<{','.join(parts)}>"
         return base
 
     # ------------------------------------------------------------------
@@ -442,6 +447,18 @@ class L4Parser:
             return N.ColorWith(colors, body)
         if t.value == "solve":
             return self.parse_solve_locally()
+        if t.value == "solveMatSys":
+            ts.next()
+            A = self.parse_access()
+            ts.expect("op", ",")
+            u = self.parse_access()
+            ts.expect("op", ",")
+            f = self.parse_access()
+            if ts.accept("op", "{"):  # {shape=..., ...} hints: ignored
+                while not ts.at("op", "}"):
+                    ts.next()
+                ts.expect("op", "}")
+            return N.SolveMatSys(A, u, f)
         if t.kind == "op" and t.value == "@":
             ts.next()
             spec = self.parse_level_spec_after_at()
@@ -665,7 +682,9 @@ class L4Parser:
 
     def parse_mul(self, stop_gt=False) -> N.Expr:
         lhs = self.parse_unary(stop_gt)
-        while self.ts.cur.kind == "op" and self.ts.cur.value in ("*", "/", "%"):
+        while self.ts.cur.kind == "op" and self.ts.cur.value in (
+            "*", "/", "%", ".*", "./", ".^", ".%"
+        ):
             op = self.ts.next().value
             lhs = N.BinOp(op, lhs, self.parse_unary(stop_gt))
         return lhs
@@ -696,6 +715,9 @@ class L4Parser:
         if t.kind in ("int", "real"):
             ts.next()
             return N.Num(float(t.value), is_int=t.kind == "int")
+        if t.kind == "imag":
+            ts.next()
+            return N.Num(float(t.value), is_imag=True)
         if t.kind == "string":
             ts.next()
             return N.Str(t.value)
@@ -703,7 +725,14 @@ class L4Parser:
             ts.next()
             e = self.parse_expr()
             ts.expect("op", ")")
+            if ts.at("ident", "j"):
+                # `(expr)j` imaginary suffix (ComplexNumbers suites)
+                ts.next()
+                return N.UnOp("im", e)
             return e
+        if t.kind == "ident" and t.value in ("tens1", "tens2") \
+                and ts.peek().value == "{":
+            return self.parse_tensor_literal()
         if ts.at("op", "{"):
             # matrix `{ {..},{..} }` or column-vector `{a, b}` literal
             ts.next()
@@ -730,6 +759,22 @@ class L4Parser:
                 return N.Num(1.0 if t.value == "true" else 0.0, is_int=True)
             return self.parse_access(allow_call=True)
         raise self.err("expected expression")
+
+    def parse_tensor_literal(self) -> N.TensorLit:
+        """`tens1{ n ; [idx] := expr, ... }` (TensorClass suites)."""
+        ts = self.ts
+        order = int(ts.next().value[-1])  # tens1 | tens2
+        ts.expect("op", "{")
+        dim = int(ts.expect("int").value)
+        ts.expect("op", ";")
+        entries = []
+        while not ts.at("op", "}"):
+            idx = self.parse_int_list()
+            ts.expect("op", ":=")
+            entries.append((idx, self.parse_expr()))
+            ts.accept("op", ",")
+        ts.expect("op", "}")
+        return N.TensorLit(order, dim, entries)
 
     def parse_access(self, allow_call: bool = False) -> N.Expr:
         """ident [@lvl | @[offset]] [<slot>] [( args )] [[offsets]]"""
@@ -763,30 +808,67 @@ class L4Parser:
             ts.expect("op", ")")
             return N.Call(name, level, args)
         offset = offset0
-        if offset is None and ts.at("op", "[") and self._looks_like_offset():
+        if offset is None and ts.at("op", "[") and self._bracket_is_offset():
             offset = self.parse_int_list()
-        return N.Access(name, level, offset, slot)
+        # matrix/vector component access: `m[i][j]`, `m[0:2][:]`, `v[i]`
+        comps = []
+        while ts.at("op", "[") and self._bracket_is_component():
+            comps.append(self._parse_component_group())
+        return N.Access(name, level, offset, slot, tuple(comps) or None)
 
     def _looks_like_slot(self) -> bool:
         t1 = self.ts.peek(1)
         t2 = self.ts.peek(2)
         return (t1.value in SLOT_KEYWORDS or t1.kind == "int") and t2.value == ">"
 
-    def _looks_like_offset(self) -> bool:
-        # offsets are short int lists like [1, 0]; distinguish from array
-        # indexing is not needed at L4 scalar level
+    def _scan_bracket_group(self):
+        """Tokens of the bracket group starting at the cursor (which must
+        be '['), up to the matching ']' (exclusive)."""
+        toks = self.ts.toks
         j = self.ts.i + 1
+        out = []
         depth = 1
-        count = 0
-        while j < len(self.ts.toks) and count < 8:
-            v = self.ts.toks[j]
-            if v.value == "]":
-                return True
-            if v.kind not in ("int",) and v.value not in (",", "-", "+"):
-                return False
+        while j < len(toks):
+            t = toks[j]
+            if t.value == "[":
+                depth += 1
+            elif t.value == "]":
+                depth -= 1
+                if depth == 0:
+                    return out
+            out.append(t)
             j += 1
-            count += 1
-        return False
+        return out
+
+    def _bracket_is_offset(self) -> bool:
+        """`[1, 0]`-style stencil offsets: a comma-separated all-int list
+        (a single `[i]` group parses as a component access instead and is
+        reinterpreted as a 1D offset by the executor when the target is a
+        scalar field)."""
+        grp = self._scan_bracket_group()
+        if not any(t.value == "," for t in grp):
+            return False
+        return all(
+            t.kind == "int" or t.value in (",", "-", "+") for t in grp
+        )
+
+    def _bracket_is_component(self) -> bool:
+        return bool(self._scan_bracket_group())
+
+    def _parse_component_group(self):
+        """One `[...]` group: `:` | `expr` | `expr : expr`."""
+        ts = self.ts
+        ts.expect("op", "[")
+        if ts.accept("op", ":"):
+            ts.expect("op", "]")
+            return ("slice", None, None)
+        e1 = self.parse_expr()
+        if ts.accept("op", ":"):
+            e2 = self.parse_expr()
+            ts.expect("op", "]")
+            return ("slice", e1, e2)
+        ts.expect("op", "]")
+        return ("idx", e1)
 
 
 def parse_l4(src_or_path: str) -> N.Program:
