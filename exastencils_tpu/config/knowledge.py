@@ -131,6 +131,8 @@ class Knowledge:
     tpu_compute_dtype: str = ""  # ""=derive from useDblPrecision; "float32"|"bfloat16"
     tpu_overlap_halo: bool = False
     tpu_coarse_replicate_threshold: int = 32  # replicate levels with <= N cells/dim/shard
+    tpu_shard_dsl: bool = True  # place DSL fields on a device mesh (GSPMD)
+    tpu_stage_functions: bool = True  # jit traceable statement runs (staged DSL exec)
 
     # --- optimization flags (accepted; mostly delegated to XLA) ---
     poly_optLevel_fine: int = 0

@@ -18,14 +18,23 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class MatVal:
     """data: jnp array, shape = batch + (rows, cols)."""
 
     data: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.data,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
 
     @property
     def rows(self) -> int:

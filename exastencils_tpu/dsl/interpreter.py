@@ -129,6 +129,8 @@ class L4Executable:
         knowledge: Knowledge,
         out=print,
         timers: Optional[TimerRegistry] = None,
+        jit_functions: Optional[bool] = None,
+        mesh=None,
     ):
         self.prog = program
         self.k = knowledge
@@ -138,6 +140,29 @@ class L4Executable:
         self.out = out
         self.timers = timers or TimerRegistry(knowledge)
         self.dtype = knowledge.real_dtype
+
+        # --- staged execution (`jit_functions`): maximal traceable
+        # statement runs are jitted per (statements, level, signature);
+        # the whole-fused computation is the TPU analog of the
+        # reference's generated C++ loop nests (and, with a sharded
+        # mesh, of its MPI program — see parallel/dslsharding) ---
+        self.jit_functions = (
+            knowledge.tpu_stage_functions if jit_functions is None else jit_functions
+        )
+        self._in_trace = False
+        self._stage_cache: Dict[Tuple, dict] = {}
+        self._stage_blacklist: set = set()
+        self._stageable_memo: Dict[Tuple, bool] = {}
+        self._refs_memo: Dict[Tuple, frozenset] = {}
+
+        # --- device-mesh placement (GSPMD sharded DSL execution) ---
+        self.mesh = mesh
+        if self.mesh is None and knowledge.tpu_shard_dsl:
+            from exastencils_tpu.parallel.dslsharding import build_dsl_mesh
+
+            self.mesh = build_dsl_mesh(knowledge, knowledge.dimensionality)
+        self._shardings: Dict[Tuple[str, int], object] = {}
+        self._store_shapes: Dict[Tuple[str, int], Tuple[int, ...]] = {}
 
         # --- domain & grids ---
         if program.domains:
@@ -212,6 +237,19 @@ class L4Executable:
             else:
                 for lvl in fn.levels.resolve(self.lo, self.hi):
                     self.functions[(fn.name, lvl)] = fn
+
+        # staggered (Face_*) programs mix localizations whose extents
+        # differ per dim — the mesh-pad embedding doesn't cover their
+        # offset algebra yet, so they run dense (documented limitation)
+        if self.mesh is not None and any(
+            info.localization in FACES for info in self.fields.values()
+        ):
+            import logging
+
+            logging.getLogger("exastencils_tpu").warning(
+                "staggered fields present: DSL mesh sharding disabled"
+            )
+            self.mesh = None
 
         # --- state ---
         self.state: Dict[Tuple[str, int], jnp.ndarray] = {}
@@ -341,8 +379,48 @@ class L4Executable:
 
     # ------------------------------------------------------------------
     # state management
-    def field_shape(self, name: str, level: int) -> Tuple[int, ...]:
+    def true_shape(self, name: str, level: int) -> Tuple[int, ...]:
+        """Logical grid extents (the dense single-device shape)."""
         return self.grids[level].shape_of(self.fields[name].localization)
+
+    def field_shape(self, name: str, level: int) -> Tuple[int, ...]:
+        """Storage extents: sharded dims padded to a multiple of their
+        mesh axis (pad kept at zero, excluded from every loop mask —
+        reference layout `pad` segments, IR_FieldLayout.scala:51-73)."""
+        if self.mesh is None:
+            return self.true_shape(name, level)
+        key = (name, level)
+        if key not in self._store_shapes:
+            from exastencils_tpu.parallel.dslsharding import store_shape
+
+            sh = self._sharding_for(name, level)
+            info = self.fields[name]
+            self._store_shapes[key] = store_shape(
+                self.mesh, sh.spec, self.true_shape(name, level),
+                lead_dims=1 if info.num_slots > 1 else 0,
+            )
+        return self._store_shapes[key]
+
+    def _pad_excl_mask(self, name: str, level: int):
+        """True on the logical grid, False on the pad tail (None when
+        unpadded)."""
+        store = self.field_shape(name, level)
+        true = self.true_shape(name, level)
+        if store == true:
+            return None
+        key = ("__pad__", name, level)
+        if key not in self._transfer_cache:
+            # concrete numpy (never traced): safe to cache across traces
+            m = np.ones(store, bool)
+            for d, (sdim, t) in enumerate(zip(store, true)):
+                if sdim == t:
+                    continue
+                i = np.arange(sdim).reshape(
+                    tuple(sdim if dd == d else 1 for dd in range(len(store)))
+                )
+                m = np.logical_and(m, i < t)
+            self._transfer_cache[key] = m
+        return self._transfer_cache[key]
 
     @property
     def complex_dtype(self):
@@ -361,11 +439,34 @@ class L4Executable:
     def init_fields_with_zero(self):
         for info in self.fields.values():
             for lvl in info.levels:
-                shape = self.grids[lvl].shape_of(info.localization) + info.elem_shape
+                shape = self.field_shape(info.name, lvl) + info.elem_shape
                 if info.num_slots > 1:
                     shape = (info.num_slots,) + shape
                     self.slot_index[(info.name, lvl)] = 0
-                self.state[(info.name, lvl)] = jnp.zeros(shape, self._field_dtype(info))
+                arr = jnp.zeros(shape, self._field_dtype(info))
+                sh = self._sharding_for(info.name, lvl)
+                if sh is not None:
+                    arr = jax.device_put(arr, sh)
+                self.state[(info.name, lvl)] = arr
+
+    def _sharding_for(self, name: str, level: int):
+        """NamedSharding of one field instance over the DSL mesh (None
+        when single-device, or when the level is replicated by the
+        coarse-level threshold — parallel/dslsharding.field_spec)."""
+        if self.mesh is None:
+            return None
+        key = (name, level)
+        if key not in self._shardings:
+            from exastencils_tpu.parallel.dslsharding import field_sharding
+
+            info = self.fields[name]
+            gshape = self.grids[level].shape_of(info.localization)
+            self._shardings[key] = field_sharding(
+                self.mesh, gshape, self.k.tpu_coarse_replicate_threshold,
+                lead_dims=1 if info.num_slots > 1 else 0,
+                trail_dims=len(info.elem_shape),
+            )
+        return self._shardings[key]
 
     def get_field(self, name: str, level: int, slot: Optional[str] = None):
         info = self.fields[name]
@@ -401,7 +502,9 @@ class L4Executable:
         if isinstance(entry, tuple) and entry and entry[0] == "__sexpr__":
             key = (name, level)
             if key not in self._stencil_cache:
-                self._stencil_cache[key] = self._eval_stencil_expr(entry[1].expr, level)
+                with jax.ensure_compile_time_eval():
+                    self._stencil_cache[key] = self._eval_stencil_expr(
+                        entry[1].expr, level)
             return self._stencil_cache[key]
         if not (isinstance(entry, tuple) and entry and entry[0] == "__decl__"):
             return entry  # IntergridStencil
@@ -421,7 +524,9 @@ class L4Executable:
         for e in sd.entries:
             offsets.append(tuple(int(self._eval_const(o)) for o in e.offsets))
             try:
-                coefs.append(self._eval_const(e.coef, env))
+                # concrete even inside a staged trace (cached below)
+                with jax.ensure_compile_time_eval():
+                    coefs.append(self._eval_const(e.coef, env))
             except ValueError:
                 cacheable = False
                 coefs.append(self.eval_expr(e.coef, Frame({}, level), None))
@@ -520,8 +625,25 @@ class L4Executable:
             info = self.fields[name]
             bc = info.bc_by_level.get(level)
             f = Field(name, self.domain, info.localization, bc=bc)
-            self._bc_appliers[key] = make_bc_applier(f, self.grids[level], level)
+            # compile-time eval: appliers precompute boundary-plane
+            # values — they must stay concrete even when the applier is
+            # first built inside a staged trace (omnistaging would
+            # otherwise cache tracers)
+            with jax.ensure_compile_time_eval():
+                self._bc_appliers[key] = make_bc_applier(f, self.grids[level], level)
         return self._bc_appliers[key]
+
+    def _apply_bc_field(self, name: str, level: int, arr):
+        """`apply bc` on the logical grid region (mesh-padded fields keep
+        their zero pad tail; the applier sees the true-extent view)."""
+        store = self.field_shape(name, level)
+        true = self.true_shape(name, level)
+        applier = self.bc_applier(name, level)
+        if store == true:
+            return applier(arr)
+        nd_g = len(store)
+        sl = tuple(slice(0, t) for t in true) + (slice(None),) * (arr.ndim - nd_g)
+        return arr.at[sl].set(applier(arr[sl]))
 
     # ------------------------------------------------------------------
     # constant-expression evaluation (declarations, knowledge conditions)
@@ -779,18 +901,47 @@ class L4Executable:
             return grid.cell_volume
         if base in ("vf_nodePosition", "vf_nodePos"):
             coords = grid.coord_mesh(NODE if loc == NODE else loc)
-            return coords[d]
+            return self._fit_coord(coords[d], d, loop)
         if base in ("vf_cellCenter", "vf_cellCen"):
             c = grid.cell_center_1d(d)
             shape = [1] * grid.ndim
             shape[d] = c.shape[0]
-            return c.reshape(shape)
+            return self._fit_coord(c.reshape(shape), d, loop)
         if base in ("vf_boundaryPosition", "vf_boundaryCoord"):
             coords = grid.coord_mesh(loc)
-            return coords[d]
+            return self._fit_coord(coords[d], d, loop)
         raise ValueError(f"unsupported virtual field {name!r}")
 
+    def _fit_coord(self, c, d: int, loop):
+        """Edge-pad a coordinate array along its dim to the loop's
+        (mesh-padded) storage extent; pad values are masked out."""
+        if loop is None or d >= c.ndim:
+            return c
+        tgt = loop.shape[d]
+        cur = c.shape[d]
+        if cur == 1 or cur >= tgt:
+            return c
+        pads = [(0, 0)] * c.ndim
+        pads[d] = (0, tgt - cur)
+        return jnp.pad(c, pads, mode="edge")
+
     def _padded_operand(self, name: str, level: int, arr, r: int):
+        """Stencil-operand ghost padding; on mesh-padded fields the
+        bc-consistent padding is computed on the true-extent view and
+        re-embedded with a zero tail (matching dense zero-extension)."""
+        store = self.field_shape(name, level)
+        true = self.true_shape(name, level)
+        if r == 0 or store == true:
+            return self._padded_operand_dense(name, level, arr, r)
+        nd_g = len(store)
+        extra = arr.ndim - nd_g
+        sl = tuple(slice(0, t) for t in true) + (slice(None),) * extra
+        core = self._padded_operand_dense(name, level, arr[sl], r)
+        out_shape = tuple(s + 2 * r for s in store) + arr.shape[nd_g:]
+        dst = tuple(slice(0, t + 2 * r) for t in true) + (slice(None),) * extra
+        return jnp.zeros(out_shape, core.dtype).at[dst].set(core)
+
+    def _padded_operand_dense(self, name: str, level: int, arr, r: int):
         """Pad a stencil operand with bc-consistent virtual ghosts
         (reference: `apply bc` materializes ghost layers for cell/face
         fields — boundary/ir/IR_DirichletBC order-2 interpolation
@@ -886,17 +1037,29 @@ class L4Executable:
         if loop is None:
             raise ValueError("inter-grid convolution outside a loop")
         out_level = loop.level
-        out_shape = loop.shape
-        key = (id(ig), f_level, out_level, out_shape, arr.shape)
+        # build/apply on the true (unpadded) extents; re-embed on
+        # mesh-padded levels
+        out_true = self.grids[out_level].shape_of(loop.localization)
+        f_true = self.grids[f_level].shape_of(loop.localization)
+        nd = len(out_true)
+        a = arr
+        if tuple(arr.shape[:nd]) != tuple(f_true):
+            a = arr[tuple(slice(0, t) for t in f_true)]
+        key = (id(ig), f_level, out_level, out_true, a.shape)
         if key not in self._transfer_cache:
             if out_level < f_level:
-                mats = build_restrict_mats(ig, out_shape, arr.shape, out_shape)
+                mats = build_restrict_mats(ig, out_true, a.shape, out_true)
             elif out_level > f_level:
-                mats = build_prolong_mats(ig, out_shape, arr.shape, out_shape)
+                mats = build_prolong_mats(ig, out_true, a.shape, out_true)
             else:
                 raise ValueError("mapping stencil applied at equal levels")
             self._transfer_cache[key] = mats
-        return apply_separable(self._transfer_cache[key], arr)
+        res = apply_separable(self._transfer_cache[key], a)
+        if tuple(loop.shape) != tuple(out_true):
+            res = jnp.zeros(tuple(loop.shape), res.dtype).at[
+                tuple(slice(0, t) for t in out_true)
+            ].set(res)
+        return res
 
     def _eval_call(self, e: N.Call, fr: Frame, loop):
         name = e.name
@@ -1188,6 +1351,447 @@ class L4Executable:
             return r.value
         return None
 
+    # ------------------------------------------------------------------
+    # sharded communicate (GSPMD placement; see parallel/dslsharding)
+    def _exec_communicate(self, s: N.Communicate, fr: Frame):
+        """`communicate field` on the sharded DSL path pins the field to
+        its mesh sharding; XLA's SPMD partitioner moves the actual halo
+        data inside the partitioned stencil ops (the TPU-native analog
+        of the synthesized exchange functions,
+        communication/ir/IR_SetupCommunication.scala:41-147).  Dense
+        single-device runs have nothing to move (reference analog:
+        MPI_RemoveMPI.scala strips all comm when MPI is off)."""
+        if self.mesh is None:
+            return
+        name = s.field.name
+        lvl = self._resolve_level(s.field.level, fr)
+        sh = self._sharding_for(name, lvl)
+        if sh is None:
+            return
+        key = (name, lvl)
+        arr = self.state[key]
+        if isinstance(arr, jax.core.Tracer):
+            self.state[key] = jax.lax.with_sharding_constraint(arr, sh)
+        else:
+            self.state[key] = jax.device_put(arr, sh)
+
+    # ------------------------------------------------------------------
+    # staged execution: jit maximal traceable statement runs
+    #
+    # The reference compiles every L4 function to C++; here the analog
+    # is tracing runs of statements into ONE XLA computation.  Runs are
+    # split at statements that need Python control flow (repeat until,
+    # conditional return/break) or host effects (print, timers, IO):
+    # those execute eagerly, and e.g. a generated `Solve` degrades to
+    # "eager while-loop around one jitted V-cycle per level" — exactly
+    # the staging granularity a hand-written JAX program would pick.
+    _STAGE_BLOCKED_CALLS = frozenset({
+        "print", "printWithReducedPrec", "printAllTimers",
+        "printAllTimersToFile", "startTimer", "stopTimer",
+        "getTotalTime", "getTotalFromTimer", "getMeanTime",
+        "getMeanFromTimer", "native", "writeField", "readField",
+        "printField", "printVtk", "compare", "classifyMatShape",
+        "evalMOpRuntimeExe", "initFieldsWithZero", "initGlobals",
+        "readParameterFile",
+    })
+    _STAGE_SAFE_CALLS = frozenset({
+        "min", "max", "pow", "diag", "diag_inv", "transpose",
+        "transposed", "dot", "dotProduct", "cross", "trace", "det",
+        "determinant", "inverse", "inv", "norm", "frobeniusNorm",
+        "getElement", "setElement", "getSlice", "setSlice", "toMatrix",
+        "Re", "re", "real", "Im", "im", "imag", "conj", "arg", "polar",
+        "notEqual", "getKnowledge", "levels", "initDomain",
+        "initGeometry", "destroyGlobals", "initFragments",
+    })
+
+    def _partition_stmts(self, stmts: List[N.Stmt], fr: Frame, loop):
+        """Split a statement list into (run, staged?) groups."""
+        if not self.jit_functions or loop is not None or self._in_trace:
+            yield stmts, False
+            return
+        run: List[N.Stmt] = []
+
+        def flush():
+            if run:
+                yield list(run), any(self._has_field_work(s, fr.level) for s in run)
+                run.clear()
+
+        for s in stmts:
+            if self._stmt_stageable(s, fr.level):
+                run.append(s)
+            else:
+                yield from flush()
+                yield [s], False
+        yield from flush()
+
+    def _has_field_work(self, s, level) -> bool:
+        """Worth jitting? (contains grid work, not just scalar decls)"""
+        if isinstance(s, (N.LoopOverField, N.ColorWith, N.RepeatWith,
+                          N.ApplyBC, N.SolveLocally, N.SolveMatSys,
+                          N.Communicate)):
+            return True
+        if isinstance(s, (N.RepeatTimes, N.LoopOverFragments, N.LevelScope)):
+            return any(self._has_field_work(x, level) for x in s.body)
+        if isinstance(s, N.If):
+            return any(self._has_field_work(x, level)
+                       for x in s.then_body + s.else_body)
+        if isinstance(s, N.VarDecl):
+            return s.init is not None and self._calls_user_fn(s.init)
+        if isinstance(s, N.Assign):
+            return self._calls_user_fn(s.value)
+        if isinstance(s, N.ExprStmt):
+            return self._calls_user_fn(s.expr)
+        return False
+
+    def _calls_user_fn(self, e) -> bool:
+        if isinstance(e, N.Call):
+            if any(k[0] == e.name for k in self.functions):
+                return True
+            return any(self._calls_user_fn(a) for a in e.args)
+        if isinstance(e, N.BinOp):
+            return self._calls_user_fn(e.lhs) or self._calls_user_fn(e.rhs)
+        if isinstance(e, N.UnOp):
+            return self._calls_user_fn(e.operand)
+        return False
+
+    def _call_targets(self, e: N.Call, level):
+        """FunctionDecls an L4 call can bind to (with their levels)."""
+        out = []
+        if e.level is not None:
+            try:
+                lvls = e.level.resolve(self.lo, self.hi, level)
+            except Exception:
+                return None  # unresolvable at scan time
+            for l in lvls:
+                if (e.name, l) in self.functions:
+                    out.append((self.functions[(e.name, l)], l))
+        else:
+            if (e.name, level) in self.functions:
+                out.append((self.functions[(e.name, level)], level))
+            elif (e.name, None) in self.functions:
+                out.append((self.functions[(e.name, None)], level))
+        return out
+
+    def _stmt_stageable(self, s, level) -> bool:
+        key = (id(s), level)
+        memo = self._stageable_memo
+        if key in memo:
+            return memo[key]
+        memo[key] = True  # break recursion cycles optimistically
+        ok = self._stageable_impl(s, level)
+        memo[key] = ok
+        return ok
+
+    def _stageable_impl(self, s, level) -> bool:
+        if isinstance(s, (N.Return, N.Break, N.RepeatUntil)):
+            return False
+        if isinstance(s, N.VarDecl):
+            return s.init is None or self._expr_stageable(s.init, level)
+        if isinstance(s, N.Assign):
+            return self._expr_stageable(s.value, level)
+        if isinstance(s, N.If):
+            return (self._expr_stageable(s.cond, level)
+                    and all(self._stmt_stageable(x, level) for x in s.then_body)
+                    and all(self._stmt_stageable(x, level) for x in s.else_body))
+        if isinstance(s, N.RepeatTimes):
+            return (self._expr_stageable(s.count, level)
+                    and all(self._stmt_stageable(x, level) for x in s.body))
+        if isinstance(s, (N.LoopOverFragments, N.ColorWith, N.RepeatWith,
+                          N.LevelScope)):
+            return all(self._stmt_stageable(x, level) for x in s.body)
+        if isinstance(s, N.LoopOverField):
+            return (
+                (s.condition is None or self._expr_stageable(s.condition, level))
+                and all(self._stmt_stageable(x, level) for x in s.body)
+            )
+        if isinstance(s, (N.Communicate, N.ApplyBC, N.Advance, N.SolveMatSys)):
+            return True
+        if isinstance(s, N.SolveLocally):
+            return all(
+                self._expr_stageable(lhs, level) and self._expr_stageable(rhs, level)
+                for lhs, rhs in s.equations
+            )
+        if isinstance(s, N.ExprStmt):
+            return self._expr_stageable(s.expr, level)
+        return False
+
+    def _expr_stageable(self, e, level) -> bool:
+        if isinstance(e, (N.Num, N.Str)) or e is None:
+            return True
+        if isinstance(e, N.Access):
+            return True
+        if isinstance(e, N.UnOp):
+            return self._expr_stageable(e.operand, level)
+        if isinstance(e, N.BinOp):
+            return self._expr_stageable(e.lhs, level) and self._expr_stageable(e.rhs, level)
+        if isinstance(e, N.MatrixLit):
+            return all(self._expr_stageable(x, level) for row in e.rows for x in row)
+        if isinstance(e, N.TensorLit):
+            return all(self._expr_stageable(x, level) for _, x in e.entries)
+        if isinstance(e, N.Call):
+            if e.name in self._STAGE_BLOCKED_CALLS:
+                return False
+            if not all(self._expr_stageable(a, level) for a in e.args):
+                return False
+            if e.name in _MATH_FNS or e.name in self._STAGE_SAFE_CALLS \
+                    or (e.name.startswith("integrateOver") and e.name.endswith("Face")):
+                return True
+            targets = self._call_targets(e, level)
+            if targets is None or not targets:
+                return False
+            return all(self._fn_stageable(fn, lvl) for fn, lvl in targets)
+        return False
+
+    def _fn_stageable(self, fn: N.FunctionDecl, level) -> bool:
+        """A called function stages if its body does — a single trailing
+        unconditional Return is fine (it raises _Return deterministically
+        at trace time)."""
+        key = (id(fn), level)
+        memo = self._stageable_memo
+        if key in memo:
+            return memo[key]
+        memo[key] = True  # optimistic for recursion (mgCycle@l -> @l-1)
+        body = fn.body
+        tail_ok = True
+        if body and isinstance(body[-1], N.Return):
+            tail_ok = body[-1].value is None or self._expr_stageable(body[-1].value, level)
+            body = body[:-1]
+        ok = tail_ok and all(self._stmt_stageable(x, level) for x in body)
+        memo[key] = ok
+        return ok
+
+    # ---- referenced / free names of a run (for trace signatures) ----
+    def _stmt_refs(self, s, level) -> frozenset:
+        key = (id(s), level)
+        if key in self._refs_memo:
+            return self._refs_memo[key]
+        self._refs_memo[key] = frozenset()  # cycle guard
+        out = set()
+
+        def expr(e):
+            if e is None:
+                return
+            if isinstance(e, N.Access):
+                out.add(e.name)
+                if e.component:
+                    for c in e.component:
+                        for x in c[1:]:
+                            if isinstance(x, N.Expr):
+                                expr(x)
+            elif isinstance(e, N.BinOp):
+                expr(e.lhs); expr(e.rhs)
+            elif isinstance(e, N.UnOp):
+                expr(e.operand)
+            elif isinstance(e, N.MatrixLit):
+                for row in e.rows:
+                    for x in row:
+                        expr(x)
+            elif isinstance(e, N.TensorLit):
+                for _, x in e.entries:
+                    expr(x)
+            elif isinstance(e, N.Call):
+                for a in e.args:
+                    expr(a)
+                for fn, lvl in (self._call_targets(e, level) or []):
+                    for st in fn.body:
+                        out.update(self._stmt_refs(st, lvl))
+
+        if isinstance(s, N.VarDecl):
+            expr(s.init)
+        elif isinstance(s, N.Assign):
+            out.add(s.target.name)
+            expr(s.value)
+        elif isinstance(s, N.If):
+            expr(s.cond)
+            for x in s.then_body + s.else_body:
+                out.update(self._stmt_refs(x, level))
+        elif isinstance(s, N.RepeatTimes):
+            expr(s.count)
+            for x in s.body:
+                out.update(self._stmt_refs(x, level))
+        elif isinstance(s, (N.LoopOverFragments, N.LevelScope, N.RepeatWith,
+                            N.ColorWith)):
+            if isinstance(s, N.ColorWith):
+                expr(s.colors)
+            if isinstance(s, N.RepeatWith):
+                for c in s.conditions:
+                    expr(c)
+            for x in s.body:
+                out.update(self._stmt_refs(x, level))
+        elif isinstance(s, N.LoopOverField):
+            out.add(s.field.name)
+            expr(s.condition)
+            if s.reduction:
+                out.add(s.reduction[1])
+            for x in s.body:
+                out.update(self._stmt_refs(x, level))
+        elif isinstance(s, (N.Communicate, N.ApplyBC, N.Advance)):
+            out.add(s.field.name)
+        elif isinstance(s, N.SolveLocally):
+            expr(s.relax)
+            for u in s.unknowns:
+                out.add(u.name)
+            for lhs, rhs in s.equations:
+                expr(lhs); expr(rhs)
+        elif isinstance(s, N.SolveMatSys):
+            out.update({s.A.name, s.u.name, s.f.name})
+        elif isinstance(s, N.ExprStmt):
+            expr(s.expr)
+        elif isinstance(s, N.Return):
+            expr(s.value)
+        res = frozenset(out)
+        self._refs_memo[key] = res
+        return res
+
+    def _run_staged(self, stmts: List[N.Stmt], fr: Frame):
+        """Execute a traceable statement run as ONE jitted computation
+        over the whole field state (plus referenced frame/global
+        scalars).  First execution traces; trace failures (data-dependent
+        Python control flow the static scan missed) blacklist the run
+        and fall back to eager execution."""
+        key0 = (tuple(id(s) for s in stmts), fr.level)
+        if key0 in self._stage_blacklist:
+            for s in stmts:
+                self.exec_stmt(s, fr, None)
+            return
+        refs = set()
+        for s in stmts:
+            refs |= self._stmt_refs(s, fr.level)
+        # stencil coefficients may read fields/globals (stencil-field
+        # case, IR_StencilField.scala) — pull their refs in too
+        for n in [n for n in refs if n in self.stencils]:
+            for entry2 in self.stencils[n].values():
+                if isinstance(entry2, tuple) and entry2 and entry2[0] == "__decl__":
+                    for en in entry2[1].entries:
+                        refs |= self._referenced_names(en.coef)
+                elif isinstance(entry2, tuple) and entry2 and entry2[0] == "__sexpr__":
+                    refs |= self._referenced_names(entry2[1].expr)
+
+        def lookup(n):
+            return fr.vars[n] if n in fr.vars else self.globals.get(n)
+
+        def traceable(v):
+            return (isinstance(v, (float, np.floating))
+                    or hasattr(v, "shape") or is_mat(v))
+
+        var_names = sorted(
+            n for n in refs
+            if n not in self.fields and n not in self.stencils
+            and (n in fr.vars or n in self.globals)
+        )
+        traced_names = tuple(n for n in var_names if traceable(lookup(n)))
+        const_items = tuple(
+            (n, repr(lookup(n))) for n in var_names if n not in traced_names
+        )
+        slot_snap = tuple(sorted(self.slot_index.items()))
+        # jit only the fields the run touches (compile-time scales with
+        # the input surface); a missed read KeyErrors at trace time and
+        # falls back to eager execution — never silently wrong
+        state_keys = tuple(sorted(k2 for k2 in self.state if k2[0] in refs))
+        key = (key0, traced_names, const_items, slot_snap, state_keys)
+        entry = self._stage_cache.get(key)
+        state_in = tuple(self.state[k2] for k2 in state_keys)
+        vars_in = tuple(lookup(n) for n in traced_names)
+        if entry is None:
+            entry = self._stage_build(key0, stmts, fr, state_keys, traced_names)
+            snapshot = (dict(self.state), dict(self.globals),
+                        dict(self.slot_index), dict(fr.vars))
+            try:
+                outs = entry["fn"](state_in, vars_in)
+            except Exception:
+                self.state, self.globals, self.slot_index = (
+                    snapshot[0], snapshot[1], snapshot[2])
+                fr.vars.clear()
+                fr.vars.update(snapshot[3])
+                self._in_trace = False
+                self._stage_blacklist.add(key0)
+                for s in stmts:
+                    self.exec_stmt(s, fr, None)
+                return
+            self._stage_cache[key] = entry
+        else:
+            outs = entry["fn"](state_in, vars_in)
+        state_out, var_out, glob_out = outs
+        for k2, v in zip(state_keys, state_out):
+            self.state[k2] = v
+        for n, v in zip(entry["out_var_names"], var_out):
+            fr.vars[n] = v
+        for n, v in zip(entry["out_glob_names"], glob_out):
+            self.globals[n] = v
+        for n, v in entry["py_vars"]:
+            fr.vars[n] = v
+        for n, v in entry["py_globs"]:
+            self.globals[n] = v
+        self.slot_index = dict(entry["post_slots"])
+
+    def _stage_build(self, key0, stmts, fr, state_keys, traced_names):
+        """Closure + capture record for one staged run."""
+        _MISSING = object()
+        base_vars = dict(fr.vars)
+        base_globals = dict(self.globals)
+        entry = {
+            "out_var_names": (), "out_glob_names": (),
+            "py_vars": (), "py_globs": (),
+            "post_slots": dict(self.slot_index),
+        }
+
+        def fn(state_in, vars_in):
+            prev = (self.state, self.globals, self.slot_index, self._in_trace)
+            fr2 = Frame(dict(base_vars), fr.level)
+            glob2 = dict(base_globals)
+            for n, v in zip(traced_names, vars_in):
+                if n in base_vars:
+                    fr2.vars[n] = v
+                else:
+                    glob2[n] = v
+            self.state = dict(zip(state_keys, state_in))
+            self.globals = glob2
+            self.slot_index = dict(prev[2])
+            self._in_trace = True
+            try:
+                for s in stmts:
+                    self.exec_stmt(s, fr2, None)
+                extra = set(self.state) - set(state_keys)
+                if extra:
+                    # a write escaped the static ref scan — refuse the
+                    # trace (falls back to eager) rather than lose it
+                    raise RuntimeError(f"staged run wrote unscanned fields {extra}")
+                out_state = tuple(self.state[k2] for k2 in state_keys)
+
+                def is_traced(v):
+                    x = v.data if is_mat(v) else v
+                    return isinstance(x, jax.core.Tracer)
+
+                var_changed = sorted(
+                    n for n, v in fr2.vars.items()
+                    if base_vars.get(n, _MISSING) is not v
+                )
+                glob_changed = sorted(
+                    n for n, v in glob2.items()
+                    if base_globals.get(n, _MISSING) is not v
+                )
+                entry["out_var_names"] = tuple(
+                    n for n in var_changed if is_traced(fr2.vars[n]))
+                entry["py_vars"] = tuple(
+                    (n, fr2.vars[n]) for n in var_changed
+                    if not is_traced(fr2.vars[n]))
+                entry["out_glob_names"] = tuple(
+                    n for n in glob_changed if is_traced(glob2[n]))
+                entry["py_globs"] = tuple(
+                    (n, glob2[n]) for n in glob_changed
+                    if not is_traced(glob2[n]))
+                entry["post_slots"] = dict(self.slot_index)
+                return (
+                    out_state,
+                    tuple(fr2.vars[n] for n in entry["out_var_names"]),
+                    tuple(glob2[n] for n in entry["out_glob_names"]),
+                )
+            finally:
+                self.state, self.globals, self.slot_index, self._in_trace = prev
+
+        entry["fn"] = jax.jit(fn)
+        return entry
+
     def emit(self, text: str, newline: bool = True):
         """Line-buffered output: `std::cout <<` segments without an endl
         (e.g. evalMOpRuntimeExe) accumulate until the next newline."""
@@ -1219,16 +1823,27 @@ class L4Executable:
     # statements
     def exec_block(self, stmts: List[N.Stmt], fr: Frame, loop=None):
         """Execute statements with C++-style block scoping: Var/Val
-        declarations die (and stop shadowing outer names) at block exit."""
+        declarations die (and stop shadowing outer names) at block exit.
+        With `jit_functions`, maximal traceable runs execute as one
+        jitted computation (see _run_staged)."""
         shadowed = {}
         declared = set()
-        try:
-            for s in stmts:
+
+        def note_decls(run):
+            for s in run:
                 if isinstance(s, N.VarDecl) and s.name not in declared:
                     declared.add(s.name)
                     if s.name in fr.vars:
                         shadowed[s.name] = fr.vars[s.name]
-                self.exec_stmt(s, fr, loop)
+
+        try:
+            for run, staged in self._partition_stmts(stmts, fr, loop):
+                note_decls(run)
+                if staged:
+                    self._run_staged(run, fr)
+                else:
+                    for s in run:
+                        self.exec_stmt(s, fr, loop)
         finally:
             for name in declared:
                 if name in shadowed:
@@ -1290,11 +1905,12 @@ class L4Executable:
         elif isinstance(s, N.SolveLocally):
             self._exec_solve_locally(s, fr, loop)
         elif isinstance(s, N.Communicate):
-            pass  # dense backend: halo exchange is a no-op; sharded DSL exec TBD
+            self._exec_communicate(s, fr)
         elif isinstance(s, N.ApplyBC):
             lvl = self._resolve_level(s.field.level, fr)
             arr = self.get_field(s.field.name, lvl, s.field.slot)
-            self.set_field(s.field.name, lvl, self.bc_applier(s.field.name, lvl)(arr), s.field.slot)
+            self.set_field(s.field.name, lvl,
+                           self._apply_bc_field(s.field.name, lvl, arr), s.field.slot)
         elif isinstance(s, N.Advance):
             lvl = self._resolve_level(s.field.level, fr)
             key = (s.field.name, lvl)
@@ -1352,8 +1968,11 @@ class L4Executable:
             info = self.fields[t.name]
             lvl = self._resolve_level(t.level, fr)
             loc = info.localization
-            sub = _LoopCtx(lvl, loc, self.field_shape(t.name, lvl),
-                           mask=loop.mask if loop and loop.level == lvl else None)
+            mask = loop.mask if loop and loop.level == lvl else None
+            pad = self._pad_excl_mask(t.name, lvl)
+            if pad is not None:  # never write the mesh pad tail
+                mask = pad if mask is None else jnp.logical_and(mask, pad)
+            sub = _LoopCtx(lvl, loc, self.field_shape(t.name, lvl), mask=mask)
             val = self.eval_expr(s.value, fr, sub)
             cur = self.get_field(t.name, lvl, t.slot)
             e_nd = len(info.elem_shape)
@@ -1473,14 +2092,17 @@ class L4Executable:
             # parallel -- execute as a wavefront sweep
             return self._exec_seq_loop(s, fr, lvl, info, shape)
         loop = _LoopCtx(lvl, info.localization, shape, reduction=s.reduction)
+        loop.mask = self._pad_excl_mask(s.field.name, lvl)  # None when unpadded
+        true = self.true_shape(s.field.name, lvl)
         if s.region is None:
             # default iteration space eliminates 'real' (physical domain)
             # boundaries along node-localized dims
             # (IR_LoopOverPointsInOneFragment.scala:73-101 IterationOffsets)
             bmask = self._node_interior_mask(
-                info.localization, shape, info.dup_layers)
+                info.localization, shape, true, info.dup_layers)
             if bmask is not None:
-                loop.mask = bmask
+                loop.mask = bmask if loop.mask is None else jnp.logical_and(
+                    loop.mask, bmask)
         if color_ctx is not None:
             loop.mask = color_ctx if loop.mask is None else jnp.logical_and(
                 loop.mask, color_ctx)
@@ -1488,7 +2110,7 @@ class L4Executable:
             cond = self.eval_expr(s.condition, fr, loop)
             loop.mask = cond if loop.mask is None else jnp.logical_and(loop.mask, cond)
         if s.region is not None:
-            rmask = self._region_mask(s, shape)
+            rmask = self._region_mask(s, shape, true)
             loop.mask = rmask if loop.mask is None else jnp.logical_and(loop.mask, rmask)
         if s.reduction is not None:
             op, var = s.reduction
@@ -1572,6 +2194,9 @@ class L4Executable:
                     # (reference: boundary handled by apply bc, smoother
                     # only relaxes valid computation points)
                     valid = self._valid_dof_mask(tname, lvl, None, shape)
+                    pad_m = self._pad_excl_mask(tname, lvl)
+                    if pad_m is not None:
+                        valid = pad_m if valid is None else jnp.logical_and(valid, pad_m)
                     if valid is not None:
                         cond_mask = (valid if cond_mask is None
                                      else jnp.logical_and(cond_mask, valid))
@@ -1688,14 +2313,17 @@ class L4Executable:
                 out |= self._referenced_names(a)
         return out
 
-    def _node_interior_mask(self, loc, shape, dup_layers=None):
+    def _node_interior_mask(self, loc, shape, true_shape=None, dup_layers=None):
         """False on physical-boundary planes along node-localized dims
         (None when nothing is excluded, e.g. pure cell fields).  Only
         dims with duplicate layers exclude their boundary planes: the
         reference's IterationOffsets come from the dup-layer bounds, so
         a `duplicateLayers = [0, 0]` layout iterates every point
-        (IR_LoopOverPointsInOneFragment.scala:73-101)."""
+        (IR_LoopOverPointsInOneFragment.scala:73-101).  `shape` is the
+        storage (iota) shape; bounds come from `true_shape` (they differ
+        on mesh-padded fields)."""
         nd = len(shape)
+        true_shape = true_shape or shape
         if loc == NODE:
             dims = list(range(nd))
         elif loc in FACES:
@@ -1709,19 +2337,19 @@ class L4Executable:
         m = None
         for d in dims:
             i = lax.broadcasted_iota(jnp.int32, shape, d)
-            mm = jnp.logical_and(i > 0, i < shape[d] - 1)
+            mm = jnp.logical_and(i > 0, i < true_shape[d] - 1)
             m = mm if m is None else jnp.logical_and(m, mm)
         return m
 
-    def _region_mask(self, s: N.LoopOverField, shape):
+    def _region_mask(self, s: N.LoopOverField, shape, true_shape=None):
         region, rdir = s.region
         nd = len(shape)
-        masks = []
+        true_shape = true_shape or shape
         if region == "inner":
             m = jnp.ones(shape, bool)
             for d in range(nd):
                 i = lax.broadcasted_iota(jnp.int32, shape, d)
-                m = jnp.logical_and(m, jnp.logical_and(i > 0, i < shape[d] - 1))
+                m = jnp.logical_and(m, jnp.logical_and(i > 0, i < true_shape[d] - 1))
             return m
         # dup/ghost boundary regions: the outermost plane in direction rdir
         m = jnp.ones(shape, bool)
@@ -1731,13 +2359,13 @@ class L4Executable:
                 if dirval < 0:
                     m = jnp.logical_and(m, i == 0)
                 elif dirval > 0:
-                    m = jnp.logical_and(m, i == shape[d] - 1)
+                    m = jnp.logical_and(m, i == true_shape[d] - 1)
         else:
             border = jnp.zeros(shape, bool)
             for d in range(nd):
                 i = lax.broadcasted_iota(jnp.int32, shape, d)
                 border = jnp.logical_or(
-                    border, jnp.logical_or(i == 0, i == shape[d] - 1)
+                    border, jnp.logical_or(i == 0, i == true_shape[d] - 1)
                 )
             m = border
         return m
@@ -1830,13 +2458,13 @@ class L4Executable:
         loc = info.localization
         if loc == CELL:
             return None
-        field_shape = self.field_shape(name, lvl)
+        true_shape = self.true_shape(name, lvl)
         nd = len(shape)
         dims = list(range(nd)) if loc == NODE else [FACES.index(loc)]
         m = None
         for d in dims:
             i = lax.broadcasted_iota(jnp.int32, shape, d) + (off[d] if off else 0)
-            ok = jnp.logical_and(i > 0, i < field_shape[d] - 1)
+            ok = jnp.logical_and(i > 0, i < true_shape[d] - 1)
             m = ok if m is None else jnp.logical_and(m, ok)
         return m
 

@@ -120,8 +120,9 @@ def build_restrict_mats(
     ghost_out: int = 0,
 ):
     kernels = separable_kernels(ig)
+    # numpy (concrete) so cached matrices never capture a jit trace
     return [
-        jnp.asarray(
+        np.asarray(
             restriction_matrix_1d(
                 kernels[d], ig.lo[d], coarse_nodes[d], fine_total[d],
                 coarse_total[d], ghost_in, ghost_out,
@@ -140,8 +141,9 @@ def build_prolong_mats(
     ghost_out: int = 0,
 ):
     kernels = separable_kernels(ig)
+    # numpy (concrete) so cached matrices never capture a jit trace
     return [
-        jnp.asarray(
+        np.asarray(
             prolongation_matrix_1d(
                 kernels[d], ig.lo[d], fine_nodes[d], coarse_total[d],
                 fine_total[d], ghost_in, ghost_out,
