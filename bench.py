@@ -7,12 +7,58 @@ ONE JSON line:
                 second of V-cycle, in 1e9 lattice-updates/s)
   vs_baseline : fraction of the speed-of-light HBM roofline for the
                 cycle (BASELINE.md target: smoothers >= 70% of roofline)
+  detail.dsl_glups : the same V(3,3)-cycle through the full DSL path
+                (examples/poisson_3d_bench.exa4 staged by the L4
+                interpreter) — the product's user-facing route
+
+Env knobs: BENCH_LEVEL (grid 2^L), BENCH_ITERS, BENCH_DSL=0 to skip the
+DSL run, BENCH_DSL_LEVEL to size it separately.
 """
 
 import json
 import os
 import sys
 import time
+
+
+def bench_dsl(size_level: int, n_timed: int):
+    """Time MGCycle@finest of the DSL benchmark program (staged L4
+    interpreter path — what a user of the framework actually runs)."""
+    import jax
+
+    from exastencils_tpu.config import Knowledge
+    from exastencils_tpu.dsl.interpreter import L4Executable, Frame
+    from exastencils_tpu.dsl.parser import parse_l4
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "poisson_3d_bench.exa4")
+    k = Knowledge(
+        dimensionality=3,
+        minLevel=1,
+        maxLevel=size_level,
+        useDblPrecision=False,
+        tpu_compute_dtype="float32",
+    ).update()
+    prog = parse_l4(base)
+    ex = L4Executable(prog, k, out=lambda s: None)
+    finest = k.maxLevel
+    ex.call_function(ex.functions[("InitF", finest)], finest, [])
+    cyc = ex.functions[("MGCycle", finest)]
+
+    t0 = time.perf_counter()
+    ex.call_function(cyc, finest, [])  # warmup / staged compiles
+    jax.block_until_ready(ex.state[("U", finest)])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        ex.call_function(cyc, finest, [])
+    jax.block_until_ready(ex.state[("U", finest)])
+    elapsed = time.perf_counter() - t0
+
+    n = (1 << size_level) + 1
+    glups = float(n) ** 3 * n_timed / elapsed / 1e9
+    return glups, elapsed / n_timed, compile_s
 
 
 def main():
@@ -73,6 +119,27 @@ def main():
     bw = HBM_BANDWIDTH.get(chip, HBM_BANDWIDTH["cpu"])
     roofline = model.roofline_glups(bw)
 
+    detail = {
+        "grid": f"{1 << size_level}^3",
+        "chip": chip,
+        "platform": platform,
+        "cycle_ms": round(elapsed / n_timed * 1e3, 3),
+        "compile_s": round(compile_s, 1),
+        "roofline_glups": round(roofline, 3),
+        "residual_drop_1cycle": r1 / r0,
+    }
+
+    if os.environ.get("BENCH_DSL", "1") != "0":
+        dsl_level = int(os.environ.get("BENCH_DSL_LEVEL", str(size_level)))
+        if platform == "cpu":
+            dsl_level = min(dsl_level, 6)
+        dsl_glups, dsl_cycle_s, dsl_compile_s = bench_dsl(dsl_level, n_timed)
+        detail["dsl_glups"] = round(dsl_glups, 4)
+        detail["dsl_grid"] = f"{1 << dsl_level}^3"
+        detail["dsl_cycle_ms"] = round(dsl_cycle_s * 1e3, 3)
+        detail["dsl_compile_s"] = round(dsl_compile_s, 1)
+        detail["dsl_vs_api"] = round(dsl_glups / glups, 4)
+
     print(
         json.dumps(
             {
@@ -80,15 +147,7 @@ def main():
                 "value": round(glups, 4),
                 "unit": "GLUP/s",
                 "vs_baseline": round(glups / roofline, 4),
-                "detail": {
-                    "grid": f"{1 << size_level}^3",
-                    "chip": chip,
-                    "platform": platform,
-                    "cycle_ms": round(elapsed / n_timed * 1e3, 3),
-                    "compile_s": round(compile_s, 1),
-                    "roofline_glups": round(roofline, 3),
-                    "residual_drop_1cycle": r1 / r0,
-                },
+                "detail": detail,
             }
         )
     )

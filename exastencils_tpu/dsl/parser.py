@@ -394,8 +394,8 @@ class L4Parser:
 
     def parse_var_decl(self) -> N.VarDecl:
         ts = self.ts
-        kw = ts.next().value  # Var | Val | Expr
-        is_val = kw in ("Val", "Expr")
+        kw = ts.next().value  # Var(iable) | Val(ue) | Expr
+        is_val = kw in ("Val", "Value", "Expr")
         name = ts.expect("ident").value
         dtype = "Real"
         if ts.accept("op", ":"):
@@ -408,7 +408,7 @@ class L4Parser:
     def parse_statement(self) -> N.Stmt:
         ts = self.ts
         t = ts.cur
-        if t.value in ("Var", "Val", "Expr"):
+        if t.value in ("Var", "Variable", "Val", "Value", "Expr"):
             return self.parse_var_decl()
         if t.value == "if":
             return self.parse_if()

@@ -9,6 +9,10 @@ the outermost planes; `apply bc` becomes a handful of plane writes that
 XLA fuses with the producing kernel.  The returned applier is a pure
 function arr -> arr; Dirichlet values are precomputed per level so they
 compile to constants.
+
+Plane writes are expressed as iota-mask selects (ops.shardsafe), never
+as chained .at[].set: chains of >=3 dynamic-update-slices on a sharded
+array miscompile under XLA SPMD (see shardsafe module docstring).
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import jax.numpy as jnp
 
 from exastencils_tpu.core.field import BC, DirichletBC, Field, NeumannBC, NoBC
 from exastencils_tpu.core.grid import NODE, LevelGrid
+from exastencils_tpu.ops.shardsafe import plane_set
 
 
 def _plane(nd: int, dim: int, index) -> tuple:
@@ -57,16 +62,14 @@ def make_bc_applier(field: Field, grid: LevelGrid, level: int = None) -> Callabl
                             tuple(s for i, s in enumerate(shape) if i != fd),
                             grid.dtype,
                         )
-                        arr = arr.at[pl].set(vals.astype(arr.dtype))
+                        arr = plane_set(arr, fd, idx, vals.astype(arr.dtype))
                     return arr
 
                 return apply_face_dirichlet
 
             def apply_face_dirichlet_const(arr):
                 for idx in (0, -1):
-                    arr = arr.at[_plane(nd, fd, idx)].set(
-                        jnp.asarray(bc.value, arr.dtype)
-                    )
+                    arr = plane_set(arr, fd, idx, bc.value)
                 return arr
 
             return apply_face_dirichlet_const
@@ -93,11 +96,12 @@ def make_bc_applier(field: Field, grid: LevelGrid, level: int = None) -> Callabl
         def apply_dirichlet(arr):
             for d in range(nd):
                 for idx in (0, -1):
-                    pl = _plane(nd, d, idx)
                     if plane_values is None:
-                        arr = arr.at[pl].set(jnp.asarray(bc.value, arr.dtype))
+                        arr = plane_set(arr, d, idx, bc.value)
                     else:
-                        arr = arr.at[pl].set(plane_values[(d, idx)].astype(arr.dtype))
+                        arr = plane_set(
+                            arr, d, idx, plane_values[(d, idx)].astype(arr.dtype)
+                        )
             return arr
 
         return apply_dirichlet
@@ -110,14 +114,16 @@ def make_bc_applier(field: Field, grid: LevelGrid, level: int = None) -> Callabl
             # (reference IR_NeumannBC: order-1 copy / order-2 quadratic)
             for d in range(nd):
                 if order == 1:
-                    arr = arr.at[_plane(nd, d, 0)].set(arr[_plane(nd, d, 1)])
-                    arr = arr.at[_plane(nd, d, -1)].set(arr[_plane(nd, d, -2)])
+                    arr = plane_set(arr, d, 0, arr[_plane(nd, d, 1)])
+                    arr = plane_set(arr, d, -1, arr[_plane(nd, d, -2)])
                 elif order == 2:
-                    arr = arr.at[_plane(nd, d, 0)].set(
-                        (4.0 * arr[_plane(nd, d, 1)] - arr[_plane(nd, d, 2)]) / 3.0
+                    arr = plane_set(
+                        arr, d, 0,
+                        (4.0 * arr[_plane(nd, d, 1)] - arr[_plane(nd, d, 2)]) / 3.0,
                     )
-                    arr = arr.at[_plane(nd, d, -1)].set(
-                        (4.0 * arr[_plane(nd, d, -2)] - arr[_plane(nd, d, -3)]) / 3.0
+                    arr = plane_set(
+                        arr, d, -1,
+                        (4.0 * arr[_plane(nd, d, -2)] - arr[_plane(nd, d, -3)]) / 3.0,
                     )
                 else:
                     raise ValueError(f"Neumann order {order} not supported")
@@ -133,6 +139,6 @@ def boundary_mask(grid: LevelGrid, dtype=bool) -> jnp.ndarray:
     shape = grid.shape_of(NODE)
     m = jnp.zeros(shape, dtype)
     for d in range(grid.ndim):
-        m = m.at[_plane(grid.ndim, d, 0)].set(True)
-        m = m.at[_plane(grid.ndim, d, -1)].set(True)
+        m = plane_set(m, d, 0, True)
+        m = plane_set(m, d, -1, True)
     return m

@@ -1,6 +1,7 @@
-"""Multi-chip dry run: compile + execute one full distributed multigrid
-step (V-cycle with halo exchange, colored smoothing, CG coarse solve,
-global reductions) over an n-device mesh on tiny shapes.
+"""Multi-chip dry run: compile + execute a FULL DSL program (ExaSlang-4
+multigrid solve with halo exchange, smoothing, CG coarse solve, global
+reductions) over an n-device mesh on small shapes, plus the hand-written
+shard_map Python-API path.
 
 Used by __graft_entry__.dryrun_multichip; runs on
 xla_force_host_platform_device_count virtual CPU devices the way the
@@ -9,6 +10,8 @@ reference tests MPI layouts with `mpirun --oversubscribe`
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import numpy as np
@@ -21,9 +24,14 @@ def _factor2d(n: int):
     return px, n // px
 
 
-def run_dryrun(n_devices: int) -> None:
-    import os
+_EXAMPLE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "examples",
+    "poisson_2d.exa4",
+)
 
+
+def run_dryrun(n_devices: int) -> None:
     if n_devices > 1 and not os.environ.get("EXATPU_DRYRUN_REAL_DEVICES"):
         # Switch to the virtual-device CPU platform BEFORE any backend is
         # initialized: the axon sitecustomize hook forces
@@ -42,6 +50,55 @@ def run_dryrun(n_devices: int) -> None:
             "(set XLA_FLAGS=--xla_force_host_platform_device_count=N)"
         )
 
+    _dryrun_dsl(n_devices, devices)
+    _dryrun_python_api(n_devices, devices)
+
+
+def _dryrun_dsl(n_devices: int, devices) -> None:
+    """The primary dry run: a complete ExaSlang-4 program (examples/
+    poisson_2d.exa4) staged through the L4 interpreter with its field
+    state sharded over the device mesh (GSPMD; `communicate` pins
+    placement, XLA inserts the halo collective-permutes)."""
+    from jax.sharding import Mesh
+
+    from exastencils_tpu.config import Knowledge
+    from exastencils_tpu.dsl.interpreter import L4Executable
+    from exastencils_tpu.dsl.parser import parse_l4
+    from exastencils_tpu.parallel.dslsharding import fit_to_devices
+
+    k = Knowledge(dimensionality=2, minLevel=0, maxLevel=5)
+    # shard even the tiny dryrun grids; levels below 4 points/shard
+    # replicate (coarse-level strategy)
+    k.tpu_coarse_replicate_threshold = 4
+    k.update()
+    prog = parse_l4(_EXAMPLE)
+    shape = fit_to_devices([n_devices, n_devices], n_devices)
+    mesh = Mesh(
+        np.array(devices[:n_devices]).reshape(tuple(shape)), ("bx", "by")
+    )
+    lines = []
+    ex = L4Executable(prog, k, out=lines.append, mesh=mesh)
+    n_dist = sum(
+        1 for arr in ex.state.values()
+        if len(arr.sharding.device_set) == n_devices
+    )
+    if n_dist == 0:
+        raise RuntimeError("dryrun: no field distributed over the full mesh")
+    ex.run()
+    res = [float(l) for l in lines[:-1]]
+    if not (res[-1] < 1e-4 * res[0]):
+        raise RuntimeError(f"dryrun DSL solve did not converge: {lines}")
+    print(
+        f"dryrun DSL: {os.path.relpath(_EXAMPLE)} on mesh "
+        f"{'x'.join(map(str, shape))}, levels {k.minLevel}..{k.maxLevel}, "
+        f"{n_dist} sharded field instances, residual {res[0]:.3e} -> "
+        f"{res[-1]:.3e} in {lines[-1]} V-cycles"
+    )
+
+
+def _dryrun_python_api(n_devices: int, devices) -> None:
+    """The hand-optimized shard_map + ppermute route (models/poisson
+    over parallel/backend): one explicit distributed V-cycle."""
     from exastencils_tpu.config import Knowledge
     from exastencils_tpu.models.poisson import PoissonMGSolver
     from exastencils_tpu.parallel.mesh import make_domain_mesh
@@ -65,6 +122,6 @@ def run_dryrun(n_devices: int) -> None:
     res = solver._res_norm(sol, rhs)
     jax.block_until_ready((sol, res))
     print(
-        f"dryrun: mesh {px}x{py}, levels {k.minLevel}..{k.maxLevel}, "
-        f"residual after 1 cycle = {float(res):.3e}"
+        f"dryrun shard_map API: mesh {px}x{py}, levels "
+        f"{k.minLevel}..{k.maxLevel}, residual after 1 cycle = {float(res):.3e}"
     )

@@ -60,15 +60,38 @@ def decomposition_from_knowledge(k, ndim: int) -> List[int]:
 
 
 def fit_to_devices(want: List[int], n_devices: int) -> List[int]:
-    """Shrink a desired decomposition until it fits the device count
-    (decrement the largest axis first — keeps the mesh near-cubic)."""
-    shape = [max(1, int(w)) for w in want]
-    while math.prod(shape) > n_devices:
-        i = int(np.argmax(shape))
-        if shape[i] <= 1:
-            break
-        shape[i] -= 1
-    return shape
+    """Fit a desired decomposition to the device count: among the
+    factorizations of the largest feasible device count whose per-axis
+    shard counts do not exceed the desired decomposition, pick the one
+    closest to the desired aspect ratio.  (The naive decrement-largest
+    approach left devices idle: want [4,4] on 8 devices gave [2,3]=6
+    used; this gives [2,4]=8.)"""
+    nd = len(want)
+    cap = [max(1, int(w)) for w in want]
+
+    def factorizations(n, dims):
+        if dims == 1:
+            yield (n,)
+            return
+        for f in range(1, n + 1):
+            if n % f == 0:
+                for rest in factorizations(n // f, dims - 1):
+                    yield (f,) + rest
+
+    for n in range(min(n_devices, math.prod(cap)), 0, -1):
+        cands = [
+            s for s in factorizations(n, nd)
+            if all(s[d] <= cap[d] for d in range(nd))
+        ]
+        if cands:
+            return list(min(
+                cands,
+                key=lambda s: (
+                    sum(abs(math.log(s[d] / cap[d])) for d in range(nd)),
+                    max(s),  # tie-break toward balanced (square) meshes
+                ),
+            ))
+    return [1] * nd
 
 
 def build_dsl_mesh(k, ndim: int, devices=None) -> Optional[Mesh]:

@@ -81,13 +81,23 @@ def test_sharded_dsl_golden(suite, name, mesh_shape, reference_root):
     assert still, "finest-level fields lost their mesh placement"
 
 
-def test_sharded_vs_dense_bitwise(reference_root):
-    """The mesh never changes the numerics: dense and 2x2-sharded runs
+# mesh-invariance law (round-2 VERDICT item 1): the numerics must be
+# IDENTICAL on every mesh shape, including the shapes where node grids
+# (2^l+1) pick up a mesh-pad tail (1x8, 8x1) and where dup/ghost bugs
+# live.  Reference analog: pad segments are never iterated
+# (field/ir/IR_FieldLayout.scala:51-73) and goldens are decomposition-
+# independent (Testing/CommBasic).
+BITWISE_MESHES = [(2, 2), (4, 2), (1, 8), (8, 1)]
+
+
+@pytest.mark.parametrize("suite,name", CASES, ids=[f"{s}/{n}" for s, n in CASES])
+def test_sharded_vs_dense_bitwise(suite, name, reference_root):
+    """The mesh never changes the numerics: dense and sharded runs
     produce identical output byte-for-byte (full precision compare,
-    stricter than the reduced-precision goldens)."""
-    base = os.path.join(reference_root, "Testing", "Poisson", "2D_FD_Poisson_fromL4")
-    outs = []
-    for mesh in (None, _mesh((2, 2))):
+    stricter than the reduced-precision goldens) on every mesh shape."""
+    base = os.path.join(reference_root, "Testing", suite, name)
+
+    def run(mesh):
         k = Knowledge()
         parse_config_file(base + ".knowledge", k)
         k.tpu_coarse_replicate_threshold = 4
@@ -97,5 +107,9 @@ def test_sharded_vs_dense_bitwise(reference_root):
         prog = _program(base, k)
         lines = []
         L4Executable(prog, k, out=lines.append, mesh=mesh).run()
-        outs.append(lines)
-    assert outs[0] == outs[1]
+        return lines
+
+    dense = run(None)
+    for shape in BITWISE_MESHES:
+        sharded = run(_mesh(shape))
+        assert sharded == dense, f"mesh {shape} changed the numerics"
