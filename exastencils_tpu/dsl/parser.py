@@ -730,7 +730,7 @@ class L4Parser:
                 ts.next()
                 return N.UnOp("im", e)
             return e
-        if t.kind == "ident" and t.value in ("tens1", "tens2") \
+        if t.kind == "ident" and t.value in ("tens1", "tens2", "tensN") \
                 and ts.peek().value == "{":
             return self.parse_tensor_literal()
         if ts.at("op", "{"):
@@ -761,12 +761,23 @@ class L4Parser:
         raise self.err("expected expression")
 
     def parse_tensor_literal(self) -> N.TensorLit:
-        """`tens1{ n ; [idx] := expr, ... }` (TensorClass suites)."""
+        """`tens1{ n ; [idx] := expr, ... }`, `tens2{ [i,j] := ... }`
+        (dim defaults to 3 when omitted), `tensN{ dim ; order ; ... }`
+        (TensorClass suites; reference baseExt L4 tensor expressions)."""
         ts = self.ts
-        order = int(ts.next().value[-1])  # tens1 | tens2
+        kw = ts.next().value  # tens1 | tens2 | tensN
         ts.expect("op", "{")
-        dim = int(ts.expect("int").value)
-        ts.expect("op", ";")
+        if kw == "tensN":
+            dim = int(ts.expect("int").value)
+            ts.expect("op", ";")
+            order = int(ts.expect("int").value)
+            ts.expect("op", ";")
+        else:
+            order = int(kw[-1])
+            dim = 3
+            if ts.at("int") and ts.peek().value == ";":
+                dim = int(ts.next().value)
+                ts.next()  # ';'
         entries = []
         while not ts.at("op", "}"):
             idx = self.parse_int_list()
@@ -813,7 +824,7 @@ class L4Parser:
         # matrix/vector component access: `m[i][j]`, `m[0:2][:]`, `v[i]`
         comps = []
         while ts.at("op", "[") and self._bracket_is_component():
-            comps.append(self._parse_component_group())
+            comps.extend(self._parse_component_group())
         return N.Access(name, level, offset, slot, tuple(comps) or None)
 
     def _looks_like_slot(self) -> bool:
@@ -856,19 +867,26 @@ class L4Parser:
         return bool(self._scan_bracket_group())
 
     def _parse_component_group(self):
-        """One `[...]` group: `:` | `expr` | `expr : expr`."""
+        """One `[...]` group: `:` | `expr` | `expr : expr`; a comma
+        splits the group into multiple index components within one
+        bracket pair (`t1[a, 2]`, TensorClass access syntax) — the
+        caller flattens the returned list."""
         ts = self.ts
         ts.expect("op", "[")
-        if ts.accept("op", ":"):
-            ts.expect("op", "]")
-            return ("slice", None, None)
-        e1 = self.parse_expr()
-        if ts.accept("op", ":"):
-            e2 = self.parse_expr()
-            ts.expect("op", "]")
-            return ("slice", e1, e2)
+        out = []
+        while True:
+            if ts.accept("op", ":"):
+                out.append(("slice", None, None))
+            else:
+                e1 = self.parse_expr()
+                if ts.accept("op", ":"):
+                    out.append(("slice", e1, self.parse_expr()))
+                else:
+                    out.append(("idx", e1))
+            if not ts.accept("op", ","):
+                break
         ts.expect("op", "]")
-        return ("idx", e1)
+        return out
 
 
 def parse_l4(src_or_path: str) -> N.Program:

@@ -26,6 +26,11 @@ CASES = [
     ("CellBased", "2D_Neumann"),
     ("FMG", "2D_ConstCoeff"),
     ("FMG", "2D_Polynomial"),
+    # nonlinear: gamma*exp(u) zero-order term via a solution-dependent
+    # stencil, solved with hand-written FAS (the reference's one
+    # NonLinear golden; reference solver/l3 FAS branches
+    # L3_SolverForEquation.scala:401-452)
+    ("NonLinear", "FAS_2D_Basic"),
 ]
 
 
