@@ -2651,6 +2651,29 @@ class L4Executable:
         if s.region is not None:
             rmask = self._region_mask(s, shape, true)
             loop.mask = rmask if loop.mask is None else jnp.logical_and(loop.mask, rmask)
+        if s.stepping:
+            # `stepping [2,2,2]` visits every step-th point, anchored at
+            # the loop's start index — the first interior point on
+            # node-Dirichlet dims (IterationOffsets), 0 otherwise.  The
+            # block smoother (Testing/Smoothers/BS) anchors its 2x2x2
+            # solve-locally blocks this way.
+            interior_dims = set()
+            if info.localization == NODE:
+                interior_dims = {
+                    d for d in range(len(shape))
+                    if d < len(info.dup_layers) and info.dup_layers[d] > 0
+                }
+            elif info.localization in FACES:
+                d = FACES.index(info.localization)
+                if d < len(info.dup_layers) and info.dup_layers[d] > 0:
+                    interior_dims = {d}
+            for d, step in enumerate(s.stepping):
+                if step and int(step) > 1:
+                    start = 1 if d in interior_dims else 0
+                    i = lax.broadcasted_iota(jnp.int32, shape, d)
+                    mm = (i - start) % int(step) == 0
+                    loop.mask = mm if loop.mask is None else jnp.logical_and(
+                        loop.mask, mm)
         if s.reduction is not None:
             op, var = s.reduction
             fr.vars.setdefault(var, 0.0)

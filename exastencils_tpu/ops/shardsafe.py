@@ -85,9 +85,16 @@ def embed_block(
 
 
 def embed_add(arr: jnp.ndarray, upd: jnp.ndarray, offsets: Tuple[int, ...]) -> jnp.ndarray:
-    """``arr[slices] += upd`` as pad + add (replaces .at[].add)."""
+    """``arr[off:off+n] += upd`` as pad + add (replaces .at[].add).
+    When the shifted update overhangs the array (same-shape field
+    updated at a block offset, e.g. solve-locally 2x2x2 blocks), the
+    overhang is cropped — those DOFs do not exist."""
     nd = upd.ndim
     pads = [
-        (offsets[d], arr.shape[d] - offsets[d] - upd.shape[d]) for d in range(nd)
+        (offsets[d], max(0, arr.shape[d] - offsets[d] - upd.shape[d]))
+        for d in range(nd)
     ]
-    return arr + jnp.pad(upd, pads)
+    x = jnp.pad(upd, pads)
+    if x.shape != arr.shape:
+        x = x[tuple(slice(0, n) for n in arr.shape)]
+    return arr + x
