@@ -89,6 +89,41 @@ def _dtype_info(dt: Optional[str]):
     return (), is_c
 
 
+def _compensated_sum(vals, algo: str):
+    """Kahan / Neumaier compensated summation via lax.scan (reference
+    solver/l3 dot(..., "kahan"|"neumaier") summation-algorithm option,
+    Testing/ComplexNumbers/sumAlgos).  Plain `jnp.sum` is pairwise and
+    usually MORE accurate; these reproduce the sequential compensated
+    semantics for API parity."""
+    zero = jnp.zeros((), vals.dtype)
+
+    if algo == "kahan":
+        def step(carry, x):
+            s, c = carry
+            y = x - c
+            t = s + y
+            return (t, (t - s) - y), None
+    elif algo == "neumaier":
+        def step(carry, x):
+            s, c = carry
+            t = s + x
+            big = jnp.abs(s) >= jnp.abs(x)
+            return (t, c + jnp.where(big, (s - t) + x, (x - t) + s)), None
+    else:
+        return jnp.sum(vals)
+    (s, c), _ = lax.scan(step, (zero, zero), vals)
+    return s if algo == "kahan" else s + c
+
+
+class _FunctionBC:
+    """Field boundary handled by a user L4 function (reference
+    field decl `Field x< dom, layout, fnName() >`; `apply bc` calls it)."""
+
+    def __init__(self, fn_name: str, level_spec):
+        self.fn_name = fn_name
+        self.level_spec = level_spec
+
+
 class _Return(Exception):
     def __init__(self, value):
         self.value = value
@@ -163,6 +198,7 @@ class L4Executable:
         # all-gathers (round-2 VERDICT item 2a)
         self.capture_hlo = capture_hlo
         self.compiled_hlo: Dict[Tuple, str] = {}
+        self._host_rng = np.random.default_rng(0x5EED)  # native() RNG emulation
         self._stage_cache: Dict[Tuple, dict] = {}
         self._stage_blacklist: set = set()
         self._stageable_memo: Dict[Tuple, bool] = {}
@@ -235,9 +271,17 @@ class L4Executable:
                 for lvl in levels:
                     per_level[lvl] = ("__sexpr__", sd)
             elif sd.entries and isinstance(sd.entries[0], N.StencilMappingEntry):
-                ig = self._mapping_to_intergrid(sd)
-                for lvl in levels:
-                    per_level[lvl] = ig
+                plain = self._mapping_as_plain_stencil(sd)
+                if plain is not None:
+                    # `[i0,i1] from [i0+c, i1] with w`: unit index
+                    # coefficients = an ordinary same-level stencil in
+                    # mapping notation (Helmholtz fromL3 operators)
+                    for lvl in levels:
+                        per_level[lvl] = ("__decl__", plain)
+                else:
+                    ig = self._mapping_to_intergrid(sd)
+                    for lvl in levels:
+                        per_level[lvl] = ig
             else:
                 for lvl in levels:
                     per_level[lvl] = ("__decl__", sd)
@@ -282,6 +326,12 @@ class L4Executable:
     def _make_bc(self, bc_expr):
         if bc_expr is None:
             return None
+        if isinstance(bc_expr, N.Call) \
+                and any(f.name == bc_expr.name for f in self.prog.functions):
+            # boundary handled by a user function (radiation/Robin BCs,
+            # ComplexNumbers Helmholtz: `Field Solution< ...,
+            # applyBC_Solution@7() >`); `apply bc` calls it
+            return _FunctionBC(bc_expr.name, bc_expr.level)
         if isinstance(bc_expr, N.Call) and bc_expr.name == "Neumann":
             order = int(bc_expr.args[0].value) if bc_expr.args else 2
             return NeumannBC(order)
@@ -351,6 +401,26 @@ class L4Executable:
             raise ValueError(f"mapping expression not affine: {e}")
 
         return ev(expr)
+
+    def _mapping_as_plain_stencil(self, sd: N.StencilDecl):
+        """A mapping stencil whose from-indices all have coefficient 1 is
+        a same-level stencil `[off] => w`; returns the equivalent
+        offset-entry StencilDecl, or None if any index scales."""
+        entries = []
+        for e in sd.entries:
+            offs = []
+            for d, fe in enumerate(e.from_exprs):
+                try:
+                    a, b = self._affine_of(fe, e.to_indices)
+                except ValueError:
+                    return None
+                if abs(a[d] - 1.0) > 1e-12 or abs(b - round(b)) > 1e-12:
+                    return None
+                if any(abs(a[dd]) > 1e-12 for dd in range(len(a)) if dd != d):
+                    return None
+                offs.append(N.Num(int(round(b)), is_int=True))
+            entries.append(N.StencilOffsetEntry(offs, e.coef))
+        return N.StencilDecl(sd.name, sd.levels, entries)
 
     def _mapping_to_intergrid(self, sd: N.StencilDecl) -> IntergridStencil:
         """Recognize 2:1 mapping stencils (reference inter-grid operators):
@@ -637,6 +707,8 @@ class L4Executable:
         if key not in self._bc_appliers:
             info = self.fields[name]
             bc = info.bc_by_level.get(level)
+            if isinstance(bc, _FunctionBC):
+                bc = None  # function BCs apply via call_function, not planes
             f = Field(name, self.domain, info.localization, bc=bc)
             # compile-time eval: appliers precompute boundary-plane
             # values — they must stay concrete even when the applier is
@@ -923,6 +995,9 @@ class L4Executable:
         if name.endswith(("_x", "_y", "_z")):
             d = "xyz".index(name[-1])
             base = name[:-2]
+        elif name.endswith(("_0", "_1", "_2")):
+            d = int(name[-1])  # numeric dim suffix (generated L4 form)
+            base = name[:-2]
         else:
             d = None
             base = name
@@ -1144,7 +1219,11 @@ class L4Executable:
             if is_mat(a) and is_mat(b):
                 return MV.dot_product(a, b)
             # L3 field dot product: sum over all grid points
-            # (solver/l3 L3_FieldFieldConvolution)
+            # (solver/l3 L3_FieldFieldConvolution); optional third arg
+            # selects the summation algorithm (ComplexNumbers/sumAlgos)
+            if len(e.args) > 2:
+                algo = str(getattr(e.args[2], "value", "")).strip("'\"")
+                return _compensated_sum((a * b).ravel(), algo)
             return jnp.sum(a * b)
         # ---- matrix builtins (reference baseExt/ir/IR_MatNodes/*) ----
         if name == "dotProduct":
@@ -1318,11 +1397,26 @@ class L4Executable:
             vals = [self.eval_expr(a, fr, loop) for a in e.args]
             self.emit(" ".join(_fmt(v, self._cout_precision) for v in vals))
             return None
+        if name == "berndist":
+            # `berndist(gen_berndist)` (sumAlgos input generation): the
+            # program declares std::bernoulli_distribution(0.25) via
+            # native(); C++ RNG state cannot be reproduced, so a seeded
+            # host RNG supplies the draw (output is self-checked, not
+            # golden-diffed)
+            shape = tuple(loop.shape) if loop is not None else ()
+            return jnp.asarray(self._host_rng.random(shape) < 0.25)
         if name == "native":
             # emulate the generated std::cout stream-precision calls the
             # reference's old-style reduced-precision printing relies on
             # (util/ir/IR_ResolvePrintWithReducedPrec pre-refactor form)
             code = str(e.args[0].value) if e.args else ""
+            if "realdist(" in code:
+                shape = tuple(loop.shape) if loop is not None else ()
+                return jnp.asarray(self._host_rng.random(shape), self.dtype)
+            if "setprecision" in code:
+                # std::cout << setprecision(digits10+1) — long-double print
+                self._cout_precision = 19
+                return None
             if "= std::cout.precision()" in code:
                 self._cout_saved = self._cout_precision
             elif "std::cout.precision(oldPrec)" in code:
@@ -2371,7 +2465,20 @@ class L4Executable:
             self._exec_assign(s, fr, loop)
         elif isinstance(s, N.If):
             cond = self.eval_expr(s.cond, fr, loop)
-            if bool(cond):
+            if loop is not None and hasattr(cond, "shape") and cond.shape:
+                # per-point branch inside a data-parallel loop: the
+                # reference emits an if inside the generated loop nest —
+                # here both branches run under complementary masks
+                base = loop.mask
+                m = jnp.broadcast_to(cond, loop.shape)
+                loop.mask = m if base is None else jnp.logical_and(base, m)
+                self.exec_block(s.then_body, fr, loop)
+                if s.else_body:
+                    nm = jnp.logical_not(m)
+                    loop.mask = nm if base is None else jnp.logical_and(base, nm)
+                    self.exec_block(s.else_body, fr, loop)
+                loop.mask = base
+            elif bool(cond):
                 self.exec_block(s.then_body, fr, loop)
             else:
                 self.exec_block(s.else_body, fr, loop)
@@ -2434,6 +2541,14 @@ class L4Executable:
             self._exec_communicate(s, fr)
         elif isinstance(s, N.ApplyBC):
             lvl = self._resolve_level(s.field.level, fr)
+            bc = self.fields[s.field.name].bc_by_level.get(lvl)
+            if isinstance(bc, _FunctionBC):
+                fn = self.functions.get((bc.fn_name, lvl)) \
+                    or self.functions.get((bc.fn_name, None))
+                if fn is None:
+                    raise ValueError(f"bc function {bc.fn_name!r} not found")
+                self.call_function(fn, lvl, [])
+                return
             arr = self.get_field(s.field.name, lvl, s.field.slot)
             self.set_field(s.field.name, lvl,
                            self._apply_bc_field(s.field.name, lvl, arr), s.field.slot)
@@ -2974,6 +3089,8 @@ class L4Executable:
         n = len(unknowns)
         relax = float(self.eval_expr(s.relax, fr, loop)) if s.relax is not None else 1.0
         dtype = self.dtype
+        if any(self.fields[nm].is_complex for nm, _, _ in unknowns):
+            dtype = self.complex_dtype  # complex per-point systems (Helmholtz)
         shape = loop.shape
 
         rows = []

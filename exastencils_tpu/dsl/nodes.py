@@ -415,3 +415,4 @@ class Program:
     functions: List[FunctionDecl] = dc_field(default_factory=list)
     globals_: List[VarDecl] = dc_field(default_factory=list)
     inline_knowledge: dict = dc_field(default_factory=dict)
+    equations: List[tuple] = dc_field(default_factory=list)  # (name, lvl, lhs, rhs)

@@ -64,6 +64,17 @@ class L4Parser:
                 prog.globals_.extend(self.parse_globals())
             elif ts.at("keyword", "Knowledge"):
                 prog.inline_knowledge.update(self.parse_inline_knowledge())
+            elif ts.at_value("Equation"):
+                # L4 `Equation id@lvl { lhs == rhs }` declarations (kept
+                # by the L3->L4 progression for solve-locally/debug use;
+                # parsed and recorded, referenced only where consumed)
+                ts.next()
+                name = ts.expect("ident").value
+                level = self.maybe_level()
+                ts.expect("op", "{")
+                eq = self.parse_expr()  # `lhs == rhs` parses as one BinOp
+                ts.expect("op", "}")
+                prog.equations.append((name, level, eq))
             else:
                 raise self.err("unexpected top-level construct")
         return prog
