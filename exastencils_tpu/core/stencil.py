@@ -358,3 +358,31 @@ def cell_restriction(ndim: int) -> IntergridStencil:
 def cell_prolongation(ndim: int) -> IntergridStencil:
     """Piecewise-constant injection to child cells."""
     return _separable("prolongation", [1.0, 1.0], 0, ndim)
+
+
+def _mixed(kind: str, kernels, los) -> IntergridStencil:
+    """Tensor-product window with per-dim kernels (face localizations mix
+    the node kernel along the face dim with the cell kernel elsewhere;
+    reference L3_DefaultRestriction.generate's per-dim kron)."""
+    window = np.array(kernels[0], dtype=np.float64)
+    for k in kernels[1:]:
+        window = np.multiply.outer(window, np.array(k, dtype=np.float64))
+    return IntergridStencil(kind, window, tuple(los),
+                            tuple(tuple(float(v) for v in k) for k in kernels))
+
+
+def face_restriction(face_dim: int, ndim: int, integral: bool = False) -> IntergridStencil:
+    """Face_d restriction: node kernel along d, cell kernel elsewhere
+    (L3_DefaultRestriction: stencilNodeLinear x stencilCellLinear)."""
+    node_k = [0.5, 1.0, 0.5] if integral else [0.25, 0.5, 0.25]
+    cell_k = [1.0, 1.0] if integral else [0.5, 0.5]
+    kernels = [node_k if d == face_dim else cell_k for d in range(ndim)]
+    los = [-1 if d == face_dim else 0 for d in range(ndim)]
+    return _mixed("restriction", kernels, los)
+
+
+def face_prolongation(face_dim: int, ndim: int, integral: bool = False) -> IntergridStencil:
+    """Transpose of the matching restriction; 'linear' scales by 2^d
+    (L3_DefaultProlongation.generate)."""
+    p = face_restriction(face_dim, ndim, integral).transposed()
+    return p if integral else p.scaled(float(2 ** ndim))

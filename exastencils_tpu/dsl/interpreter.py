@@ -200,6 +200,7 @@ class L4Executable:
         self.compiled_hlo: Dict[Tuple, str] = {}
         self._host_rng = np.random.default_rng(0x5EED)  # native() RNG emulation
         self._stage_cache: Dict[Tuple, dict] = {}
+        self._gridcall_cache: Dict[int, N.Expr] = {}
         self._stage_blacklist: set = set()
         self._stageable_memo: Dict[Tuple, bool] = {}
         self._refs_memo: Dict[Tuple, frozenset] = {}
@@ -247,6 +248,22 @@ class L4Executable:
             bc = self._make_bc(fd.bc)
             for lvl in levels:
                 info.bc_by_level[lvl] = bc
+
+        # --- stencil templates: runtime-assembled stencil fields
+        # (reference L2_StencilTemplateDecl -> IR_StencilField; NS
+        # Examples assemble A11/A22/... per Newton/Picard iterate).
+        # Stored as ordinary fields with elem_shape (n_offsets, 1) so
+        # state/staging/sharding machinery applies unchanged ---
+        self.stencil_templates: Dict[str, N.StencilTemplateDecl] = {}
+        for st in program.stencil_templates:
+            levels = (st.levels or N.LvlAll()).resolve(self.lo, self.hi)
+            loc = _LOC_MAP.get(st.localization, NODE)
+            info = self.fields.setdefault(
+                st.name, _FieldInfo(st.name, loc, [], num_slots=1,
+                                    ghost=1, elem_shape=(len(st.offsets), 1),
+                                    is_complex=False, dup_layers=None))
+            info.levels = sorted(set(info.levels) | set(levels))
+            self.stencil_templates[st.name] = st
 
         # --- stencils (bound lazily: coefficients may reference fields,
         # the reference's stencil-field case IR_StencilField.scala) ---
@@ -878,6 +895,24 @@ class L4Executable:
             return self._eval_virtual_field(name, fr, loop)
         if name == "levels":
             return self._resolve_level(e.level, fr)
+        if name in self.stencil_templates:
+            # stencil-field access: `A:[off]` reads one coefficient
+            # component; a bare `A` yields the stencil view (BoundStencil
+            # with array coefficients, re-bound each use so assembly
+            # updates are visible; reference IR_StencilFieldAccess)
+            st = self.stencil_templates[name]
+            lvl = self._resolve_level(e.level, fr)
+            arr = self.get_field(name, lvl)
+            if e.sten_entry is not None:
+                k = st.offsets.index(tuple(e.sten_entry))
+                return self._to_loop_space(arr[..., k, 0], e.offset, loop)
+            # coefficients stay on A's OWN grid, unshifted: the
+            # convolution path maps its result into loop space afterwards
+            # (`A@[o] * u@[o]` shifts the whole conv by the field offset),
+            # and _block_coefs maps pointwise reads itself
+            coefs = tuple(arr[..., k, 0] for k in range(len(st.offsets)))
+            return ("__stencil__",
+                    BoundStencil(name, tuple(st.offsets), coefs), lvl)
         if name in self.fields:
             info = self.fields[name]
             lvl = self._resolve_level(e.level, fr)
@@ -1001,7 +1036,13 @@ class L4Executable:
         else:
             d = None
             base = name
-        if base in ("vf_gridWidth",):
+        if name in ("vf_xStagCellVolume", "vf_yStagCellVolume",
+                    "vf_zStagCellVolume"):
+            # staggered CV volume == cell volume on uniform interior grids
+            # (grid/ir/IR_VF_StagCellVolume; boundary half-CVs carry
+            # Dirichlet DOFs and are never assembled)
+            return grid.cell_volume
+        if base in ("vf_gridWidth", "vf_cellWidth", "vf_stagCVWidth"):
             return grid.grid_width(d)
         if base == "vf_cellVolume":
             return grid.cell_volume
@@ -1143,8 +1184,19 @@ class L4Executable:
                     conv = self._apply_stencil_frozen(
                         st, e.rhs.name, f_level, arr, fz[2], fz[3])
                     return self._to_loop_space(conv, e.rhs.offset, loop)
-                xp = self._padded_operand(e.rhs.name, f_level, arr, st.radius)
-                conv = apply_stencil(st, xp, padded_radius=st.radius, out_shape=arr.shape)
+                # array-coefficient stencils (stencil fields) put the
+                # result on the COEFFICIENT grid, which may differ from
+                # the operand grid by +-1 per dim on staggered meshes
+                # (A12 on Face_x applied to v on Face_y); widen the pad
+                # so every window slice stays in bounds
+                out_shape = tuple(arr.shape)
+                c0 = st.coefs[0] if st.coefs else None
+                if hasattr(c0, "shape") and getattr(c0, "shape", ()) != ():
+                    out_shape = tuple(c0.shape)
+                r = st.radius + max(
+                    0, max(o - a for o, a in zip(out_shape, arr.shape)))
+                xp = self._padded_operand(e.rhs.name, f_level, arr, r)
+                conv = apply_stencil(st, xp, padded_radius=r, out_shape=out_shape)
                 return self._to_loop_space(conv, e.rhs.offset, loop)
             return self._intergrid_apply(st, arr, f_level, loop)
         rhs = self.eval_expr(e.rhs, fr, loop)
@@ -1184,6 +1236,28 @@ class L4Executable:
 
     def _eval_call(self, e: N.Call, fr: Frame, loop):
         name = e.name
+        if (name.startswith(("integrateOver", "evalAt"))
+                and name.endswith("Face")):
+            # grid integral / face evaluation: expand once per call site
+            # into interpolated offset accesses * face area (gridops,
+            # reference IR_IntegrateOnGrid/IR_EvaluateOnGrid), then
+            # evaluate the rewritten expression normally
+            key = id(e)
+            cached = self._gridcall_cache.get(key)
+            if cached is None:
+                from exastencils_tpu.dsl.gridops import expand_grid_call
+
+                def loc_of(nm):
+                    if nm in self.stencil_templates:
+                        return self.stencil_templates[nm].localization
+                    info = self.fields.get(nm)
+                    return info.localization if info else None
+
+                cached = expand_grid_call(e, self.k.dimensionality, loc_of)
+                if cached is None:
+                    raise ValueError(f"unrecognized grid call {name!r}")
+                self._gridcall_cache[key] = cached
+            return self.eval_expr(cached, fr, loop)
         if name in _MATH_FNS:
             return _MATH_FNS[name](self.eval_expr(e.args[0], fr, loop))
         if name in ("min", "max"):
@@ -1397,6 +1471,31 @@ class L4Executable:
             vals = [self.eval_expr(a, fr, loop) for a in e.args]
             self.emit(" ".join(_fmt(v, self._cout_precision) for v in vals))
             return None
+        if name == "buildString":
+            # buildString(dest, parts...) concatenates into the string
+            # variable (reference util/ir IR_BuildString)
+            parts = [self.eval_expr(a, fr, loop) for a in e.args[1:]]
+            dest = e.args[0].name
+            txt = "".join(str(p) for p in parts)
+            (fr.vars if dest in fr.vars else self.globals)[dest] = txt
+            return None
+        if name in ("printVtkNS", "printVtkNNF", "printVtkSWE"):
+            # multi-field VTK dump of the application's primary fields
+            # (visualization/ir/postprocessing IR_PrintVtkNS etc.): one
+            # file per localization group, suffixed by field name
+            from exastencils_tpu.runtime.vtk import print_vtk
+
+            path = str(self.eval_expr(e.args[0], fr, loop))
+            lvl = int(self.eval_expr(e.args[1], fr, loop))
+            for fname in ("u", "v", "w", "p"):
+                if fname in self.fields and lvl in self.fields[fname].levels:
+                    print_vtk(f"{path}.{fname}.vtk",
+                              {fname: self.get_field(fname, lvl)},
+                              self.grids[lvl], self.fields[fname].localization)
+            return None
+        if name in ("showMappedImage", "showMappedImageAndWaitWhen",
+                    "writeMappedImage", "readImage"):
+            return None  # CImg interactive visualization: no TPU analog
         if name == "berndist":
             # `berndist(gen_berndist)` (sumAlgos input generation): the
             # program declares std::bernoulli_distribution(0.25) via
@@ -1737,7 +1836,8 @@ class L4Executable:
             if not all(self._expr_stageable(a, level) for a in e.args):
                 return False
             if e.name in _MATH_FNS or e.name in self._STAGE_SAFE_CALLS \
-                    or (e.name.startswith("integrateOver") and e.name.endswith("Face")):
+                    or (e.name.startswith(("integrateOver", "evalAt"))
+                        and e.name.endswith("Face")):
                 return True
             targets = self._call_targets(e, level)
             if targets is None or not targets:
@@ -2618,6 +2718,15 @@ class L4Executable:
 
     def _exec_assign(self, s: N.Assign, fr: Frame, loop):
         t = s.target
+        if t.name in self.stencil_templates and t.sten_entry is not None:
+            # `A:[off] (op)= expr` writes one stencil-field coefficient
+            # component (reference IR_StencilFieldAccess assignment)
+            from dataclasses import replace as _dc_replace
+
+            k = self.stencil_templates[t.name].offsets.index(tuple(t.sten_entry))
+            t = _dc_replace(t, sten_entry=None, component=(
+                ("idx", N.Num(k, is_int=True)), ("idx", N.Num(0, is_int=True))))
+            s = N.Assign(t, s.op, s.value)
         if t.name in self.fields:
             info = self.fields[t.name]
             lvl = self._resolve_level(t.level, fr)
@@ -3179,7 +3288,13 @@ class L4Executable:
                     delta = tuple(a - b for a, b in zip(off_u, off_f))
                     cmap = dict(zip(st.offsets, st.coefs))
                     if delta in cmap:
-                        coefs[j] = coefs[j] + mult * cmap[delta]
+                        c = cmap[delta]
+                        if hasattr(c, "shape") and c.shape:
+                            # stencil-field coefficients are per-point
+                            # arrays on the stencil's own grid: read them
+                            # at loop point + off_f
+                            c = self._to_loop_space(c, off_f, loop)
+                        coefs[j] = coefs[j] + mult * c
                 elif off_u == off_f:
                     coefs[j] = coefs[j] + mult * (1.0 if factor is None else factor)
 

@@ -129,7 +129,7 @@ class L3Parser(L4Parser):
             elif v == "Field":
                 ts.next()
                 prog.fields.append(self.parse_l3_field())
-            elif v == "Operator":
+            elif v == "Operator" or v == "Stencil":
                 ts.next()
                 prog.operators.append(self.parse_operator())
             elif v == "Equation":
@@ -217,6 +217,21 @@ class L3Parser(L4Parser):
             ts.expect("keyword", "with")
             interp = ts.expect("string").value
             return N.StencilFromDefault(name, kind, loc, interp, levels)
+        if ts.at("keyword", "StencilField") or ts.at("ident", "StencilTemplate"):
+            # `Operator A from StencilTemplate on Face_x of global { [o] => }`
+            # (L2_StencilTemplateDecl): runtime-assembled stencil field
+            ts.next()
+            ts.expect("keyword", "on")
+            loc = ts.next().value
+            ts.expect("keyword", "of")
+            dom = ts.next().value
+            offsets = []
+            ts.expect("op", "{")
+            while not ts.at("op", "}"):
+                offsets.append(tuple(self.parse_int_list()))
+                ts.expect("op", "=>")
+            ts.expect("op", "}")
+            return N.StencilTemplateDecl(name, loc, dom, offsets, levels)
         ts.expect("keyword", "Stencil")
         decl = self._parse_stencil_body(name, levels)
         return decl
@@ -481,9 +496,12 @@ def lower_l3(l3: L3Program, knowledge, user_l4: Optional[N.Program] = None) -> N
         for f in l3.functions
     ]
 
-    # --- operators -> stencils ---
+    # --- operators -> stencils (StencilTemplates become stencil fields) ---
     for op in l3.operators:
-        prog.stencils.append(op)
+        if isinstance(op, N.StencilTemplateDecl):
+            prog.stencil_templates.append(op)
+        else:
+            prog.stencils.append(op)
 
     # --- resolve `from` field clones + bc overrides ---
     fields: Dict[str, List[L3FieldDecl]] = {}
@@ -543,12 +561,22 @@ def lower_l3(l3: L3Program, knowledge, user_l4: Optional[N.Program] = None) -> N
     # expressions and rewrite the equations into `sum Op * field` normal
     # form (reference `generate operators ... store in` + the L2
     # equation-to-stencil extraction) ---
+    from exastencils_tpu.dsl.gridops import contains_grid_call, expand_grid_calls
     from exastencils_tpu.dsl.linearize import extract_stencils
+
+    def _loc_of(nm: str) -> Optional[str]:
+        return resolved[nm]["loc"] if nm in resolved else None
 
     for go in l3.gen_operators:
         for (unknown, eqname, store) in go.entries:
             eq = eq_by_name[eqname]
-            stencils = extract_stencils(eq.lhs, set(store), knowledge.dimensionality)
+            lhs = eq.lhs
+            if contains_grid_call(lhs):
+                # FV surface integrals over the unknown's (staggered)
+                # control volume become offset accesses + vf_gridWidth
+                # areas (IR_IntegrateOnGrid), which linearize cleanly
+                lhs = expand_grid_calls(lhs, knowledge.dimensionality, _loc_of)
+            stencils = extract_stencils(lhs, set(store), knowledge.dimensionality)
             new_lhs: Optional[N.Expr] = None
             for fname, opname in store.items():
                 entries = stencils.get(fname)

@@ -136,6 +136,9 @@ class Access(Expr):
     # matrix/vector component access `m[i][j]`, `m[0:2][:]`, `v[i]`:
     # list of ('idx', expr) | ('slice', lo_expr|None, hi_expr|None)
     component: Optional[Tuple] = None
+    # stencil-field entry designator `A:[-1,0]` (reference L4 stencil
+    # field access, field/l4/L4_StencilFieldAccess offset selection)
+    sten_entry: Optional[Tuple[int, ...]] = None
 
 
 @dataclass
@@ -391,6 +394,20 @@ class StencilFieldDecl:
 
 
 @dataclass
+class StencilTemplateDecl:
+    """`Operator A from StencilTemplate on <loc> of <dom> { [off] => }`
+    (reference operator/l2 L2_StencilTemplateDecl): a stencil whose
+    per-offset coefficients are a field, assembled at runtime via
+    `loop over A { A:[off] = ... }`."""
+
+    name: str
+    localization: str
+    domain: str
+    offsets: List[Tuple[int, ...]]
+    levels: Optional[LevelSpec] = None
+
+
+@dataclass
 class FunctionDecl:
     name: str
     levels: Optional[LevelSpec]
@@ -412,6 +429,7 @@ class Program:
     fields: List[FieldDecl] = dc_field(default_factory=list)
     stencils: List[StencilDecl] = dc_field(default_factory=list)
     stencil_fields: List[StencilFieldDecl] = dc_field(default_factory=list)
+    stencil_templates: List[StencilTemplateDecl] = dc_field(default_factory=list)
     functions: List[FunctionDecl] = dc_field(default_factory=list)
     globals_: List[VarDecl] = dc_field(default_factory=list)
     inline_knowledge: dict = dc_field(default_factory=dict)

@@ -618,11 +618,20 @@ class L4Parser:
         ts.expect("keyword", "locally")
         jac = False
         relax = None
-        if ts.accept("keyword", "with"):
-            ts.expect("keyword", "jacobi")
-            jac = True
-        if ts.accept("keyword", "relax"):
-            relax = self.parse_expr()
+        anchor = None
+        while True:
+            if ts.accept("keyword", "with"):
+                ts.expect("keyword", "jacobi")
+                jac = True
+            elif ts.accept("keyword", "relax"):
+                relax = self.parse_expr()
+            elif ts.at("ident", "at"):
+                # `solve locally at p ...`: anchor field supplies the
+                # implicit iteration space (L4_LocalSolve.scala)
+                ts.next()
+                anchor = self.parse_access()
+            else:
+                break
         ts.expect("op", "{")
         unknowns = []
         equations = []
@@ -635,7 +644,12 @@ class L4Parser:
             unknowns.append(u)
             equations.append((eq.lhs, eq.rhs))
         ts.expect("op", "}")
-        return N.SolveLocally(unknowns, equations, jac, relax)
+        sl = N.SolveLocally(unknowns, equations, jac, relax)
+        if anchor is not None:
+            # anchored form: wrap in the implicit loop over the anchor
+            # field so color masks / interior masks apply as usual
+            return N.LoopOverField(anchor, [sl])
+        return sl
 
     def parse_assign_or_call(self) -> N.Stmt:
         ts = self.ts
@@ -832,11 +846,18 @@ class L4Parser:
         offset = offset0
         if offset is None and ts.at("op", "[") and self._bracket_is_offset():
             offset = self.parse_int_list()
+        # stencil-field entry designator `A:[-1,0]` (may follow an @[..]
+        # offset; reference L4 stencil-field access/assignment syntax)
+        sten_entry = None
+        if ts.at("op", ":") and ts.peek().value == "[":
+            ts.next()
+            sten_entry = tuple(self.parse_int_list())
         # matrix/vector component access: `m[i][j]`, `m[0:2][:]`, `v[i]`
         comps = []
         while ts.at("op", "[") and self._bracket_is_component():
             comps.extend(self._parse_component_group())
-        return N.Access(name, level, offset, slot, tuple(comps) or None)
+        return N.Access(name, level, offset, slot, tuple(comps) or None,
+                        sten_entry)
 
     def _looks_like_slot(self) -> bool:
         t1 = self.ts.peek(1)

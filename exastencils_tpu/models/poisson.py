@@ -112,7 +112,9 @@ class PoissonMGSolver:
                 from exastencils_tpu.parallel.backend import ShardedBackend
 
                 dims = self.shard_dims or tuple(self.mesh.devices.shape)
-                self.backend = ShardedBackend(self.grids, self.mesh, dims)
+                self.backend = ShardedBackend(
+                    self.grids, self.mesh, dims,
+                    replicate_below=k.tpu_coarse_replicate_threshold)
             else:
                 from exastencils_tpu.parallel.backend import DenseBackend
 

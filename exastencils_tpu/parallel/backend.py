@@ -264,9 +264,18 @@ class ShardedBackend:
 
     is_sharded = True
 
-    def __init__(self, grids: Dict[int, LevelGrid], mesh: Mesh, shard_dims: Tuple[int, ...], ghost: int = 1):
+    def __init__(self, grids: Dict[int, LevelGrid], mesh: Mesh, shard_dims: Tuple[int, ...], ghost: int = 1,
+                 replicate_below: int = 0):
         """shard_dims[d] = shards along spatial dim d (product = mesh size;
-        dims with 1 are unsharded)."""
+        dims with 1 are unsharded).
+
+        Levels whose cells are not divisible by the shard grid, or whose
+        extent drops below `replicate_below` cells per dim
+        (Knowledge.tpu_coarse_replicate_threshold), are REPLICATED: every
+        device holds and smooths the full level redundantly inside the
+        same shard_map — the TPU form of the reference's coarse-grid
+        agglomeration (latency-bound tiny grids stop paying per-sweep
+        neighbor comm; domain/ir partitioning + SURVEY §2.4)."""
         self.mesh = mesh
         shard_dims = tuple(int(p) for p in shard_dims)
         if tuple(mesh.devices.shape) != shard_dims:
@@ -280,28 +289,102 @@ class ShardedBackend:
         self.topo = ShardTopology(mesh, shard_dims, names, ghost)
         self.grids = grids
         self.handles = {}
+        self.replicated: set = set()
+        finest = max(grids)
         for lvl, g in grids.items():
             cells = g.cells
-            local = []
-            for d, c in enumerate(cells):
-                if c % shard_dims[d]:
+            per_shard = [c // p for c, p in zip(cells, shard_dims) if p > 1]
+            divisible = all(
+                c % p == 0 and c // p >= 1 for c, p in zip(cells, shard_dims)
+            )
+            # the finest level is always sharded when divisible (that is
+            # the point of the backend); the replicate threshold governs
+            # the coarse end of the hierarchy only
+            shardable = divisible and (
+                lvl == finest
+                or not per_shard
+                or min(per_shard) >= max(1, replicate_below)
+            )
+            if not shardable:
+                if lvl == finest:
                     raise ValueError(
-                        f"level {lvl}: {c} cells not divisible by {shard_dims[d]} shards on dim {d}"
+                        f"finest level {lvl}: cells {cells} not divisible by "
+                        f"the {shard_dims} shard grid"
                     )
-                local.append(c // shard_dims[d])
+                self.replicated.add(lvl)
+                self.handles[lvl] = DenseLevelHandle(g, g.shape_of(NODE))
+                continue
+            local = [c // p for c, p in zip(cells, shard_dims)]
             self.handles[lvl] = ShardedLevelHandle(g, self.topo, tuple(local))
 
     def handle(self, level: int) -> ShardedLevelHandle:
         return self.handles[level]
 
     # ------------------------------------------------------------------
+    # replicated-coarse support: assemble/distribute global arrays inside
+    # shard_map at the sharded->replicated crossover level
+    def gather_global(self, level: int, x):
+        """Fragment view -> full global node array on EVERY device:
+        owned-masked block embed + psum over the mesh axes (one
+        all-reduce; the crossover level is tiny by construction)."""
+        h = self.handles[level]
+        topo = self.topo
+        g, nd = topo.ghost, topo.ndim
+        S = h.grid.shape_of(NODE)
+        owned = topo.owned_mask(h.local_shape, h.local_cells)
+        xo = jnp.where(owned, x, 0)
+        block = xo[tuple(slice(g, g + n + 1) for n in h.local_cells)]
+        starts = tuple(
+            topo.axis_index(d) * h.local_cells[d] for d in range(nd)
+        )
+        embedded = lax.dynamic_update_slice(
+            jnp.zeros(S, x.dtype), block, starts
+        )
+        return topo.psum(embedded)
+
+    def scatter_local(self, level: int, x_global):
+        """Full global node array -> this fragment's local view (ghosts
+        filled from the global data; physical-boundary ghosts zero)."""
+        h = self.handles[level]
+        topo = self.topo
+        g, nd = topo.ghost, topo.ndim
+        xp = jnp.pad(x_global, g)
+        starts = tuple(
+            topo.axis_index(d) * h.local_cells[d] for d in range(nd)
+        )
+        return lax.dynamic_slice(xp, starts, h.local_shape)
+
     def transfer_fns(self, fine_level: int, restrict_op: IntergridStencil, prolong_op: IntergridStencil):
         """Fragment-local transfers as MXU contractions over the padded
         local arrays: coarse node j reads fine local 2j - g + lo + k
         (fine ghosts supply fragment-interface values via the preceding
-        halo exchange); ghost output rows are zero."""
+        halo exchange); ghost output rows are zero.
+
+        Replicated coarse levels: below the crossover both levels are
+        global dense arrays (DenseBackend math); AT the crossover the
+        fine fragments are gathered once, transferred densely, and
+        scattered back (reference coarse-grid agglomeration)."""
         fh = self.handles[fine_level]
         ch = self.handles[fine_level - 1]
+        fine_rep = fine_level in self.replicated
+        coarse_rep = (fine_level - 1) in self.replicated
+        if fine_rep and coarse_rep:
+            r_mats = build_restrict_mats(restrict_op, ch.shape, fh.shape, ch.shape)
+            p_mats = build_prolong_mats(prolong_op, fh.shape, ch.shape, fh.shape)
+            return (
+                lambda res: apply_separable(r_mats, res),
+                lambda sol_c: apply_separable(p_mats, sol_c),
+            )
+        if coarse_rep:
+            fS = fh.grid.shape_of(NODE)
+            r_mats = build_restrict_mats(restrict_op, ch.shape, fS, ch.shape)
+            p_mats = build_prolong_mats(prolong_op, fS, ch.shape, fS)
+            return (
+                lambda res: apply_separable(
+                    r_mats, self.gather_global(fine_level, res)),
+                lambda sol_c: self.scatter_local(
+                    fine_level, apply_separable(p_mats, sol_c)),
+            )
         g = self.topo.ghost
         nd = self.topo.ndim
 

@@ -104,14 +104,16 @@ def _dryrun_python_api(n_devices: int, devices) -> None:
     from exastencils_tpu.parallel.mesh import make_domain_mesh
 
     px, py = _factor2d(n_devices)
-    # coarsest level must stay divisible by the shard counts
-    min_level = max(int(np.ceil(np.log2(max(px, py, 2)))), 1)
+    # full multigrid depth: levels too small (or not divisible) for the
+    # shard grid replicate onto every device (ShardedBackend
+    # replicate_below — coarse-grid agglomeration)
     k = Knowledge(
         dimensionality=2,
-        minLevel=min_level,
-        maxLevel=min_level + 3,
+        minLevel=0,
+        maxLevel=5,
         useDblPrecision=False,
         tpu_compute_dtype="float32",
+        tpu_coarse_replicate_threshold=4,
     ).update()
 
     mesh = make_domain_mesh((px, py), devices=devices[:n_devices])

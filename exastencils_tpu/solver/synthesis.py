@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from exastencils_tpu.config import Knowledge
 from exastencils_tpu.core.field import Field
-from exastencils_tpu.core.grid import CELL, NODE
+from exastencils_tpu.core.grid import CELL, FACES, NODE
 from exastencils_tpu.core.stencil import (
     IntergridStencil,
     Stencil,
@@ -64,6 +64,8 @@ def default_transfer_ops(localization: str, ndim: int,
     'linear' (averaging) for FD (L3_SolverForEquation.scala:133-139)."""
     from exastencils_tpu.core.stencil import (
         cell_restriction_integral,
+        face_prolongation,
+        face_restriction,
         node_restriction_integral,
     )
 
@@ -74,6 +76,10 @@ def default_transfer_ops(localization: str, ndim: int,
     if localization == CELL:
         r = cell_restriction_integral(ndim) if integral else cell_restriction(ndim)
         return r, cell_prolongation(ndim)
+    if localization in FACES:
+        d = FACES.index(localization)
+        return (face_restriction(d, ndim, integral),
+                face_prolongation(d, ndim, integral))
     raise ValueError(f"no default transfer ops for localization {localization!r}")
 
 
