@@ -115,7 +115,13 @@ def main():
     fine_dofs = float(n) ** 3
     glups = fine_dofs * n_timed / elapsed / 1e9
 
-    model = VCycleTrafficModel(ndim=3, dtype_bytes=4, check_residual=False)
+    # roofline of the algorithm AS COMPILED: with Pallas active the
+    # smoother runs K iterations per memory pass and both cycle legs are
+    # single fused passes, so the speed-of-light denominator tightens
+    # accordingly (runtime/performance.py fused_* flags)
+    fused = bool(k.tpu_use_pallas) and platform == "tpu"
+    model = VCycleTrafficModel(ndim=3, dtype_bytes=4, check_residual=False,
+                               fused_smoother=fused, fused_legs=fused)
     bw = HBM_BANDWIDTH.get(chip, HBM_BANDWIDTH["cpu"])
     roofline = model.roofline_glups(bw)
 
@@ -126,6 +132,7 @@ def main():
         "cycle_ms": round(elapsed / n_timed * 1e3, 3),
         "compile_s": round(compile_s, 1),
         "roofline_glups": round(roofline, 3),
+        "traffic_model": "fused-v2" if fused else "per-pass",
         "residual_drop_1cycle": r1 / r0,
     }
 

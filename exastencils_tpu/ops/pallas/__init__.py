@@ -18,7 +18,9 @@ import jax
 from exastencils_tpu.core.field import DirichletBC, Field
 from exastencils_tpu.ops.pallas.stream3d import (
     pallas_applicable_3d,
+    prolong_correct_fused_3d,
     rbgs_fused_3d,
+    res_restrict_fused_3d,
 )
 
 
@@ -46,3 +48,51 @@ def make_fused_smoother_3d(
         return rbgs_fused_3d(sol, rhs, offsets, coefs, omega, n, interpret=interp)
 
     return smooth_n
+
+
+def make_fused_transfers_3d(
+    A, field: Field, level: int, fine_shape, coarse_shape,
+    restrict_op, prolong_op,
+):
+    """Fused down-leg (residual + restriction) and up-leg (prolongation +
+    correction) for the dense 3D path, or (None, None) outside the kernel
+    contract (separable transfer windows, constant star stencil,
+    Dirichlet bc).  Returns (res_restrict(sol, rhs) -> coarse_rhs,
+    prolong_correct(sol, sol_c) -> sol)."""
+    import jax.numpy as jnp
+
+    from exastencils_tpu.ops.transfer import (
+        build_prolong_mats,
+        build_restrict_mats,
+        separable_kernels,
+    )
+
+    if not isinstance(field.bc_at(level), DirichletBC):
+        return None, None
+    if not pallas_applicable_3d(tuple(fine_shape), A.offsets, A.coefs):
+        return None, None
+    try:
+        r_kern = separable_kernels(restrict_op)
+        p_kern = separable_kernels(prolong_op)
+        r_mats = build_restrict_mats(restrict_op, coarse_shape, fine_shape, coarse_shape)
+        p_mats = build_prolong_mats(prolong_op, fine_shape, coarse_shape, fine_shape)
+    except ValueError:
+        return None, None
+    interp = _interpret_mode()
+    offsets, coefs = A.offsets, A.coefs
+    ry, rx = jnp.asarray(r_mats[1]), jnp.asarray(r_mats[2])
+    py, px = jnp.asarray(p_mats[1]), jnp.asarray(p_mats[2])
+    wz_r, lo_r = tuple(r_kern[0]), int(restrict_op.lo[0])
+    wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
+    coarse_shape = tuple(coarse_shape)
+
+    def res_restrict(sol, rhs):
+        return res_restrict_fused_3d(
+            sol, rhs, offsets, coefs, ry, rx, wz_r, lo_r, coarse_shape,
+            interpret=interp)
+
+    def prolong_correct(sol, sol_c):
+        return prolong_correct_fused_3d(
+            sol, sol_c, py, px, wz_p, lo_p, interpret=interp)
+
+    return res_restrict, prolong_correct

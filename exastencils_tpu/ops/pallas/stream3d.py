@@ -216,124 +216,215 @@ def pallas_applicable_3d(shape, offsets, coefs) -> bool:
 
 # ======================================================================
 # fused residual + restriction (down-leg) and prolongation + correction
-# (up-leg).  Both stream z-planes and do the y/x transfer as MXU
-# contractions per plane; the z transfer is a 3-plane accumulation.
+# (up-leg).  Both stream z-planes through the automatic BlockSpec
+# pipeline and do the y/x transfer as MXU contractions per plane; the
+# z transfer is a small ring-buffer accumulation.  One pass over the
+# fine arrays replaces the unfused residual-write + residual-read of
+# the XLA path (the down/up legs are pure-bandwidth ops).
 # ======================================================================
 
 
-def _res_restrict_kernel(sol_hbm, rhs_hbm, ry_hbm, rx_hbm, out_hbm,
-                         win, rwin, resw, ry, rx, acc,
-                         sem_in, sem_rhs, sem_out,
-                         *, nz, ny, nx, czc, cyc, cxc, cs, wz, lo_z):
+def _down_kernel(sol_ref, rhs_ref, ry_ref, rx_ref, out_ref, win, rwin, resw,
+                 *, nz, ny, nx, nzc, nyc, nxc, cs, wz, lo_z):
     """coarse_rhs[cz] = sum_k wz[k] * Ry @ residual[2*cz + lo_z + k] @ Rx^T
-    with residual = rhs - A*sol computed on the fly (zero at boundary:
-    Dirichlet residual bc, reference gen_residual bc = 0.0)."""
+    with residual = rhs - A*sol computed on the fly (zero on boundary
+    planes: Dirichlet residual bc, reference gen_residual bc = 0.0).
+
+    Step p ingests fine plane p, forms the residual of plane p-1 and its
+    y/x restriction into a 4-deep ring, and (re)writes the coarse plane
+    the output index map points at — by the time the map moves off a
+    coarse plane, all of its z-contributions are in the ring."""
+    p = pl.program_id(0)
     iy = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 1)
     ix = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 2)
     inner = (iy >= 1) & (iy <= ny - 2) & (ix >= 1) & (ix <= nx - 2)
-    W = 4
     nw = len(wz)
 
-    def in_dma(p):
-        return pltpu.make_async_copy(sol_hbm.at[p], win.at[p % W], sem_in.at[p % W])
+    @pl.when(p < nz)
+    def _():
+        win[pl.ds(p % 3, 1)] = sol_ref[:]
+        rwin[pl.ds(p % 3, 1)] = rhs_ref[:]
 
-    def rhs_dma(p):
-        return pltpu.make_async_copy(rhs_hbm.at[p], rwin.at[p % W], sem_rhs.at[p % W])
+    q = p - 1
 
-    def step(p, _):
-        @pl.when(p < nz)
-        def _():
-            in_dma(p).start()
-            rhs_dma(p).start()
-            in_dma(p).wait()
-            rhs_dma(p).wait()
+    @pl.when((q >= 1) & (q <= nz - 2))
+    def _():
+        a = win[pl.ds((q - 1) % 3, 1)]
+        b = win[pl.ds(q % 3, 1)]
+        c = win[pl.ds((q + 1) % 3, 1)]
+        f = rwin[pl.ds(q % 3, 1)]
+        r = jnp.where(inner, f - _apply_star_plane(a, b, c, cs), 0.0)
+        r2 = r.reshape(ny, nx)
+        t = jnp.dot(ry_ref[:], r2, preferred_element_type=r2.dtype)
+        rc = jnp.dot(t, rx_ref[:].T, preferred_element_type=r2.dtype)
+        resw[pl.ds(q % 4, 1)] = rc.reshape(1, nyc, nxc)
 
-        # residual of plane q = p-1
-        q = p - 1
+    @pl.when((q == 0) | (q == nz - 1))
+    def _():
+        resw[pl.ds(q % 4, 1)] = jnp.zeros((1, nyc, nxc), resw.dtype)
 
-        @pl.when((q >= 0) & (q <= nz - 1))
-        def _():
-            a = win[pl.ds((q - 1) % W, 1)]
-            b = win[pl.ds(q % W, 1)]
-            c = win[pl.ds((q + 1) % W, 1)]
-            f = rwin[pl.ds(q % W, 1)]
-            r = jnp.where(inner & (q >= 1) & (q <= nz - 2),
-                          f - _apply_star_plane(a, b, c, cs), 0.0)
-            # y/x restriction on the residual plane: Ry (cyc,ny) @ r @ Rx^T
-            r2 = r.reshape(ny, nx)
-            t = jnp.dot(ry[:], r2, preferred_element_type=r2.dtype)
-            rc = jnp.dot(t, rx[:].T, preferred_element_type=r2.dtype)
-            resw[pl.ds(q % 3, 1)] = rc.reshape(1, cyc, cxc)
-
-        # coarse plane cz is complete once residual plane 2*cz+lo_z+nw-1 done
-        cz = (q - lo_z - (nw - 1))
-        # only every other q yields a coarse plane
-        @pl.when((cz >= 0) & (cz % 2 == 0) & (cz // 2 <= czc - 1))
-        def _():
-            czi = cz // 2
-            total = None
-            for k in range(nw):
-                fq = (2 * czi + lo_z + k) % 3
-                term = wz[k] * resw[pl.ds(fq, 1)]
-                total = term if total is None else total + term
-            acc[:] = total
-            pltpu.make_async_copy(acc, out_hbm.at[czi], sem_out).start()
-            pltpu.make_async_copy(acc, out_hbm.at[czi], sem_out).wait()
-        return 0
-
-    lax.fori_loop(0, nz + 1 + lo_z + nw, step, 0)
+    # (re)write the mapped coarse plane from the ring (matches the out
+    # BlockSpec index map exactly)
+    czi = jnp.clip((p - 3 - lo_z) // 2, 0, nzc - 1)
+    total = jnp.zeros((1, nyc, nxc), out_ref.dtype)
+    for k in range(nw):
+        qk = 2 * czi + lo_z + k
+        valid = (qk >= 0) & (qk <= nz - 1) & (qk >= p - 4) & (qk <= p - 1)
+        total = total + jnp.where(valid, wz[k] * resw[pl.ds(qk % 4, 1)], 0.0)
+    out_ref[:] = total
 
 
-def _prolong_correct_kernel(sol_hbm, coarse_hbm, py_hbm, px_hbm, out_hbm,
-                            cwin, uplane, sem_c, sem_u, sem_out,
-                            *, nz, ny, nx, nzc, nyc, nxc, wz, lo_z):
-    """sol[f] += (P_z P_y P_x coarse)[f] on inner nodes, streaming fine
-    z-planes; fine plane f reads coarse planes cz with f = 2*cz + lo_z + k."""
+@functools.lru_cache(maxsize=64)
+def _build_down_3d(nz, ny, nx, nzc, nyc, nxc, cs_key, wz, lo_z,
+                   dtype_str, interpret):
+    cs = (cs_key[0], tuple(cs_key[1:]))
+    dtype = jnp.dtype(dtype_str)
+    kernel = functools.partial(
+        _down_kernel, nz=nz, ny=ny, nx=nx, nzc=nzc, nyc=nyc, nxc=nxc,
+        cs=cs, wz=wz, lo_z=lo_z,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(nz + 2,),
+        out_shape=jax.ShapeDtypeStruct((nzc, nyc, nxc), dtype),
+        in_specs=[
+            pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nyc, ny), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nxc, nx), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nyc, nxc),
+            lambda p: (jnp.clip((p - 3 - lo_z) // 2, 0, nzc - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, ny, nx), dtype),
+            pltpu.VMEM((3, ny, nx), dtype),
+            pltpu.VMEM((4, nyc, nxc), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_transfer_vmem(ny, nx, nyc, nxc, dtype.itemsize),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (7 + nyc + nxc) * nz * ny * nx,
+            bytes_accessed=(2 * nz * ny * nx + nzc * nyc * nxc) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+def _transfer_vmem(ny, nx, nyc, nxc, itemsize) -> int:
+    """Scoped-VMEM budget for the streaming transfer kernels: window
+    planes + double-buffered IO blocks + transfer matrices + headroom."""
+    fine_plane = ny * _round_up(nx, 128) * itemsize
+    coarse_plane = nyc * _round_up(nxc, 128) * itemsize
+    mats = (nyc * _round_up(nx, 128) + nxc * _round_up(nx, 128)
+            + ny * _round_up(nxc, 128) + nx * _round_up(nxc, 128)) * itemsize
+    need = 12 * fine_plane + 10 * coarse_plane + 2 * mats + (4 << 20)
+    return int(min(need, 127 * 1024 * 1024))
+
+
+def res_restrict_fused_3d(sol, rhs, offsets, coefs, ry, rx, wz, lo_z,
+                          coarse_shape, interpret: bool = False):
+    """Fused residual + full-weighting restriction on the dense 3D path:
+    one streaming pass over sol/rhs emits the coarse rhs directly."""
+    cs = _star_coefs(offsets, coefs, 3)
+    if cs is None:
+        raise ValueError("not a constant radius-1 star stencil")
+    nz, ny, nx = sol.shape
+    nzc, nyc, nxc = coarse_shape
+    fn = _build_down_3d(nz, ny, nx, nzc, nyc, nxc,
+                        (cs[0],) + tuple(cs[1]), tuple(wz), int(lo_z),
+                        str(sol.dtype), interpret)
+    return fn(sol, rhs, ry, rx)
+
+
+def _up_kernel(sol_ref, cL_ref, cH_ref, py_ref, px_ref, out_ref,
+               *, nz, ny, nx, nzc, nyc, nxc, wz, lo_z):
+    """sol[f] += (P_z P_y P_x coarse)[f] on inner nodes.  Fine plane f
+    draws from at most two coarse planes czH = (f - lo_z) // 2 and
+    czL = czH - 1 (whichever k with f = 2*cz + lo_z + k are integral);
+    both are supplied by clamped input index maps."""
+    f = pl.program_id(0)
     iy = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 1)
     ix = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 2)
     inner = (iy >= 1) & (iy <= ny - 2) & (ix >= 1) & (ix <= nx - 2)
-    WC = 3
     nw = len(wz)
+    czH = (f - lo_z) // 2
+    czL = czH - 1
+    dtype = out_ref.dtype
+    wH = jnp.zeros((), dtype)
+    wL = jnp.zeros((), dtype)
+    for k in range(nw):
+        num = f - lo_z - k
+        cz = num // 2
+        ok = (num % 2 == 0) & (cz >= 0) & (cz <= nzc - 1)
+        wH = wH + jnp.where(ok & (cz == czH), wz[k], 0.0).astype(dtype)
+        wL = wL + jnp.where(ok & (cz == czL), wz[k], 0.0).astype(dtype)
 
-    def c_dma(cz):
-        return pltpu.make_async_copy(coarse_hbm.at[cz], cwin.at[cz % WC], sem_c.at[cz % WC])
+    def prolong_plane(cref):
+        cpl = cref[:].reshape(nyc, nxc)
+        t = jnp.dot(py_ref[:], cpl, preferred_element_type=cpl.dtype)
+        return jnp.dot(t, px_ref[:].T, preferred_element_type=cpl.dtype
+                       ).reshape(1, ny, nx)
 
-    def u_dma(f):
-        return pltpu.make_async_copy(sol_hbm.at[f], uplane, sem_u)
+    corr = wH * prolong_plane(cH_ref) + wL * prolong_plane(cL_ref)
+    s = sol_ref[:]
+    write = inner & (f >= 1) & (f <= nz - 2)
+    out_ref[:] = jnp.where(write, s + corr, s)
 
-    def step(p, _):
-        # p indexes coarse planes arriving; fine planes lag
-        @pl.when(p < nzc)
-        def _():
-            c_dma(p).start()
-            c_dma(p).wait()
 
-        # fine planes f whose last contributing coarse plane is p-... :
-        # f uses cz in [ceil((f - lo_z - nw + 1)/2), floor((f - lo_z)/2)]
-        # process the two fine planes f with floor((f - lo_z)/2) == p - 1
-        for rpar in range(2):
-            f = 2 * (p - 1) + lo_z + rpar
+@functools.lru_cache(maxsize=64)
+def _build_up_3d(nz, ny, nx, nzc, nyc, nxc, wz, lo_z, dtype_str, interpret):
+    dtype = jnp.dtype(dtype_str)
+    kernel = functools.partial(
+        _up_kernel, nz=nz, ny=ny, nx=nx, nzc=nzc, nyc=nyc, nxc=nxc,
+        wz=wz, lo_z=lo_z,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        in_specs=[
+            pl.BlockSpec((1, ny, nx), lambda f: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nyc, nxc),
+                         lambda f: (jnp.clip((f - lo_z) // 2 - 1, 0, nzc - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nyc, nxc),
+                         lambda f: (jnp.clip((f - lo_z) // 2, 0, nzc - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, nyc), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nx, nxc), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ny, nx), lambda f: (f, 0, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_transfer_vmem(ny, nx, nyc, nxc, dtype.itemsize),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (nyc + nxc) * nz * ny * nx // max(1, nx),
+            bytes_accessed=(2 * nz * ny * nx + 2 * nzc * nyc * nxc) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
 
-            @pl.when((f >= 1) & (f <= nz - 2))
-            def _(f=f):
-                u_dma(f).start()
-                u_dma(f).wait()
-                corr = None
-                for k in range(nw):
-                    # contribution of coarse plane cz where f = 2 cz + lo_z + k
-                    # => cz = (f - lo_z - k) / 2 when integral
-                    num = f - lo_z - k
-                    @pl.when((num % 2 == 0) & (num >= 0) & (num // 2 <= nzc - 1))
-                    def _(k=k, num=num):
-                        cz = num // 2
-                        cpl = cwin[pl.ds(cz % WC, 1)].reshape(nyc, nxc)
-                        t = jnp.dot(py_hbm[:], cpl, preferred_element_type=cpl.dtype)
-                        up = jnp.dot(t, px_hbm[:].T, preferred_element_type=cpl.dtype)
-                        uplane[:] = uplane[:] + jnp.where(
-                            inner.reshape(ny, nx), wz[k] * up, 0.0
-                        )
-                pltpu.make_async_copy(uplane, out_hbm.at[f], sem_out).start()
-                pltpu.make_async_copy(uplane, out_hbm.at[f], sem_out).wait()
-        return 0
 
-    lax.fori_loop(0, nzc + 2 + nw, step, 0)
+def prolong_correct_fused_3d(sol, sol_c, py, px, wz, lo_z,
+                             interpret: bool = False):
+    """Fused prolongation + correction: sol_new = sol + P sol_c on inner
+    nodes, one streaming pass (boundary/Dirichlet planes untouched)."""
+    nz, ny, nx = sol.shape
+    nzc, nyc, nxc = sol_c.shape
+    fn = _build_up_3d(nz, ny, nx, nzc, nyc, nxc, tuple(wz), int(lo_z),
+                      str(sol.dtype), interpret)
+    # sol_c feeds two block streams (the lo/hi contributing coarse planes)
+    return fn(sol, sol_c, sol_c, py, px)

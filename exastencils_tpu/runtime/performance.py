@@ -61,14 +61,32 @@ class VCycleTrafficModel:
     colors: int = 2
     dtype_bytes: int = 4
     check_residual: bool = True
+    # kernel-fusion level achieved by the implementation (bench passes
+    # the actual configuration so vs_baseline stays a fraction of the
+    # speed of light *of the algorithm as compiled*):
+    #   fused_smoother: K iterations per memory pass (Pallas temporal
+    #     blocking) -> 3 arrays per smoothing block instead of per
+    #     half-sweep (stream3d.rbgs_fused_3d)
+    #   fused_legs: residual+restrict / prolong+correct single passes
+    #     (stream3d.res_restrict_fused_3d / prolong_correct_fused_3d)
+    fused_smoother: bool = False
+    fused_legs: bool = False
 
     def bytes_per_fine_dof(self) -> float:
         level_sum = 1.0 / (1.0 - 0.5 ** self.ndim)  # sum over levels of (1/2^d)^l
         ratio = 0.5 ** self.ndim
-        smoother = (self.n_pre + self.n_post) * self.colors * 3
-        residual = 3
-        restrict = 1 + ratio
-        prolong = 2 + ratio
+        if self.fused_smoother:
+            smoother = 2 * 3  # one 3-array block for pre, one for post
+        else:
+            smoother = (self.n_pre + self.n_post) * self.colors * 3
+        if self.fused_legs:
+            residual = 0
+            restrict = 2 + ratio  # read sol+rhs, write coarse rhs
+            prolong = 2 + ratio  # read sol + coarse sol, write sol
+        else:
+            residual = 3
+            restrict = 1 + ratio
+            prolong = 2 + ratio
         per_level = smoother + residual + restrict + prolong
         check = (3 + 1) if self.check_residual else 0  # residual + norm read, finest only
         return (per_level * level_sum + check) * self.dtype_bytes

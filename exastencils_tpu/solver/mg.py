@@ -67,6 +67,10 @@ class MGLevelOps:
     # fused n-iteration smoother (Pallas temporal-blocking kernel, the
     # analog of the reference's IR_ContractingLoop); overrides `smooth`
     smooth_n: Optional[Callable] = None  # (n, sol, rhs) -> sol
+    # fused cycle legs (Pallas streaming kernels): residual+restriction
+    # in one pass, prolongation+correction in one pass
+    res_restrict_fn: Optional[Callable] = None  # (sol, rhs) -> rhs_coarse
+    prolong_correct_fn: Optional[Callable] = None  # (sol, sol_c) -> sol
 
 
 @dataclass
@@ -112,8 +116,6 @@ class Multigrid:
         sol, rhs = self._hook("pre", level, sol, rhs)
         sol = _smooth_n(lv, self.n_pre, sol, rhs)
 
-        res = self.residual(level, sol, rhs)
-
         coarse = self.levels[level - 1]
 
         def do_restrict(arr):
@@ -126,7 +128,12 @@ class Multigrid:
                 return lv.prolong_fn(coarse.exchange(arr))
             return prolong(lv.prolong_op, coarse.exchange(arr), lv.shape)
 
-        rhs_c = do_restrict(res)
+        if lv.res_restrict_fn is not None and not self.fas:
+            # fused down-leg: residual + restriction in one memory pass
+            rhs_c = lv.res_restrict_fn(lv.exchange(sol), rhs)
+        else:
+            res = self.residual(level, sol, rhs)
+            rhs_c = do_restrict(res)
         if self.fas:
             # FAS: tau-corrected coarse problem A_c(u_c) = R r + A_c(R u),
             # initial guess u_c = R u, correction P(u_c - R u)
@@ -135,7 +142,7 @@ class Multigrid:
             rhs_c = rhs_c + coarse.A_apply(coarse.exchange(sol_c0))
             sol_c = sol_c0
         else:
-            sol_c = coarse.bc_sol(jnp.zeros(coarse.shape, res.dtype))
+            sol_c = coarse.bc_sol(jnp.zeros(coarse.shape, rhs_c.dtype))
 
         if level - 1 > self.min_level and kind in ("W", "F"):
             recurse_kinds = ("W", "W") if kind == "W" else ("F", "V")
@@ -144,8 +151,12 @@ class Multigrid:
         for rk in recurse_kinds:
             sol_c = self.cycle(sol_c, rhs_c, level - 1, kind=rk)
 
-        corr = do_prolong(sol_c - sol_c0) if self.fas else do_prolong(sol_c)
-        sol = lv.bc_sol(sol + corr)
+        if lv.prolong_correct_fn is not None and not self.fas:
+            # fused up-leg: prolongation + correction in one memory pass
+            sol = lv.prolong_correct_fn(sol, coarse.exchange(sol_c))
+        else:
+            corr = do_prolong(sol_c - sol_c0) if self.fas else do_prolong(sol_c)
+            sol = lv.bc_sol(sol + corr)
 
         sol = _smooth_n(lv, self.n_post, sol, rhs)
         sol, rhs = self._hook("post", level, sol, rhs)

@@ -255,8 +255,17 @@ def generate_solver(
                 A, u, lvl, h.work_shape, omega, num_colors
             )
         restrict_fn = prolong_fn = None
+        res_restrict_fn = prolong_correct_fn = None
         if lvl > k.minLevel:
             restrict_fn, prolong_fn = backend.transfer_fns(lvl, restrict_op, prolong_op)
+            if k.tpu_use_pallas and not backend.is_sharded and nd == 3:
+                from exastencils_tpu.ops.pallas import make_fused_transfers_3d
+
+                res_restrict_fn, prolong_correct_fn = make_fused_transfers_3d(
+                    A, u, lvl, h.work_shape,
+                    backend.handle(lvl - 1).work_shape,
+                    restrict_op, prolong_op,
+                )
         levels[lvl] = MGLevelOps(
             grid=g,
             shape=h.work_shape,
@@ -270,6 +279,8 @@ def generate_solver(
             dot_fn=h.dot,
             norm_fn=h.norm_l2,
             smooth_n=smooth_n,
+            res_restrict_fn=res_restrict_fn,
+            prolong_correct_fn=prolong_correct_fn,
         )
 
     lv0 = levels[k.minLevel]

@@ -86,3 +86,69 @@ def test_rejects_non_star():
     offsets = ((0, 0, 0), (1, 1, 0))
     coefs = (4.0, -1.0)
     assert not pallas_applicable_3d((9, 9, 9), offsets, coefs)
+
+
+# ----------------------------------------------------------------------
+# fused cycle legs: residual+restriction (down) / prolongation+correction
+# (up) vs the unfused jnp composition
+# ----------------------------------------------------------------------
+
+from exastencils_tpu.core.stencil import node_prolongation, node_restriction
+from exastencils_tpu.ops.pallas.stream3d import (
+    prolong_correct_fused_3d,
+    res_restrict_fused_3d,
+)
+from exastencils_tpu.ops.stencil_apply import apply_stencil
+from exastencils_tpu.ops.transfer import (
+    apply_separable,
+    build_prolong_mats,
+    build_restrict_mats,
+    separable_kernels,
+)
+
+
+def inner_mask(shape):
+    return ~boundary_mask(shape)
+
+
+@pytest.mark.parametrize("level", [3, 4])
+def test_res_restrict_fused_matches_jnp(level):
+    rng = np.random.default_rng(7)
+    n = 2 ** level + 1
+    fine = (n, n, n)
+    coarse = ((n - 1) // 2 + 1,) * 3
+    sol = jnp.asarray(rng.standard_normal(fine))
+    rhs = jnp.asarray(rng.standard_normal(fine))
+    A = star3d()
+    R = node_restriction(3)
+    r_mats = [jnp.asarray(m) for m in build_restrict_mats(R, coarse, fine, coarse)]
+    wz = separable_kernels(R)[0]
+
+    residual = jnp.where(jnp.asarray(inner_mask(fine)),
+                         rhs - apply_stencil(A, sol), 0.0)
+    want = apply_separable(r_mats, residual)
+    got = res_restrict_fused_3d(sol, rhs, A.offsets, A.coefs,
+                                r_mats[1], r_mats[2], wz, R.lo[0], coarse,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("level", [3, 4])
+def test_prolong_correct_fused_matches_jnp(level):
+    rng = np.random.default_rng(11)
+    n = 2 ** level + 1
+    fine = (n, n, n)
+    coarse = ((n - 1) // 2 + 1,) * 3
+    sol = jnp.asarray(rng.standard_normal(fine))
+    sol_c = jnp.asarray(rng.standard_normal(coarse))
+    Pop = node_prolongation(3)
+    p_mats = [jnp.asarray(m) for m in build_prolong_mats(Pop, fine, coarse, fine)]
+    wz = separable_kernels(Pop)[0]
+
+    corr = apply_separable(p_mats, sol_c)
+    want = jnp.where(jnp.asarray(inner_mask(fine)), sol + corr, sol)
+    got = prolong_correct_fused_3d(sol, sol_c, p_mats[1], p_mats[2],
+                                   wz, Pop.lo[0], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
