@@ -17,10 +17,13 @@ import jax
 
 from exastencils_tpu.core.field import DirichletBC, Field
 from exastencils_tpu.ops.pallas.stream3d import (
+    max_fused_k_3d,
     pallas_applicable_3d,
     prolong_correct_fused_3d,
+    prolong_correct_smooth_fused_3d,
     rbgs_fused_3d,
     res_restrict_fused_3d,
+    smooth_res_restrict_fused_3d,
 )
 
 
@@ -96,3 +99,59 @@ def make_fused_transfers_3d(
             sol, sol_c, py, px, wz_p, lo_p, interpret=interp)
 
     return res_restrict, prolong_correct
+
+
+def make_fused_legs_3d(
+    A, field: Field, level: int, fine_shape, coarse_shape,
+    restrict_op, prolong_op, omega: float, n_pre: int, n_post: int,
+    num_colors: int,
+):
+    """Whole-leg fusion for the dense 3D path: the entire down leg
+    (n_pre RBGS iterations + residual + restriction) and the entire up
+    leg (prolongation + correction + n_post RBGS iterations) each as ONE
+    streaming memory pass.  Returns (down(sol, rhs) -> (sol, rhs_c),
+    up(sol, sol_c, rhs) -> sol) or (None, None) outside the contract."""
+    import jax.numpy as jnp
+
+    from exastencils_tpu.ops.transfer import (
+        build_prolong_mats,
+        build_restrict_mats,
+        separable_kernels,
+    )
+
+    if num_colors != 2:
+        return None, None
+    if not isinstance(field.bc_at(level), DirichletBC):
+        return None, None
+    if not pallas_applicable_3d(tuple(fine_shape), A.offsets, A.coefs):
+        return None, None
+    itemsize = 4
+    k_max = max_fused_k_3d(fine_shape[1], fine_shape[2], itemsize)
+    if n_pre > k_max or n_post > k_max or n_pre < 1 or n_post < 1:
+        return None, None
+    try:
+        r_kern = separable_kernels(restrict_op)
+        p_kern = separable_kernels(prolong_op)
+        r_mats = build_restrict_mats(restrict_op, coarse_shape, fine_shape, coarse_shape)
+        p_mats = build_prolong_mats(prolong_op, fine_shape, coarse_shape, fine_shape)
+    except ValueError:
+        return None, None
+    interp = _interpret_mode()
+    offsets, coefs = A.offsets, A.coefs
+    ry, rx = jnp.asarray(r_mats[1]), jnp.asarray(r_mats[2])
+    py, px = jnp.asarray(p_mats[1]), jnp.asarray(p_mats[2])
+    wz_r, lo_r = tuple(r_kern[0]), int(restrict_op.lo[0])
+    wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
+    coarse_shape = tuple(coarse_shape)
+
+    def down(sol, rhs):
+        return smooth_res_restrict_fused_3d(
+            sol, rhs, offsets, coefs, omega, n_pre, ry, rx, wz_r, lo_r,
+            coarse_shape, interpret=interp)
+
+    def up(sol, sol_c, rhs):
+        return prolong_correct_smooth_fused_3d(
+            sol, sol_c, rhs, offsets, coefs, omega, n_post, py, px,
+            wz_p, lo_p, interpret=interp)
+
+    return down, up

@@ -428,3 +428,296 @@ def prolong_correct_fused_3d(sol, sol_c, py, px, wz, lo_z,
                       str(sol.dtype), interpret)
     # sol_c feeds two block streams (the lo/hi contributing coarse planes)
     return fn(sol, sol_c, sol_c, py, px)
+
+
+# ======================================================================
+# whole-leg fusion: the ENTIRE down leg (K pre-smoothing iterations +
+# residual + restriction) and the ENTIRE up leg (prolongation +
+# correction + K post-smoothing iterations) each as ONE streaming pass.
+# Per level visit the cycle then moves 3+1/8 arrays down and 3+1/8 up —
+# the V-cycle's true HBM speed of light.
+# ======================================================================
+
+
+def _smooth_down_kernel(sol_ref, rhs_ref, ry_ref, rx_ref, out_ref, outc_ref,
+                        win, rwin, resw,
+                        *, nz, ny, nx, nzc, nyc, nxc, K, W, R, cs, omega,
+                        wz, lo_z):
+    """rbgs wavefront (K iterations) + residual of the fully-smoothed
+    plane p-2K-1 + its y/x restriction + z-combine into coarse planes.
+    Residual of plane q is formed once planes q-1..q+1 carry black-K."""
+    c0 = cs[0]
+    scale = omega / c0
+    p = pl.program_id(0)
+    nw = len(wz)
+
+    iy = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 2)
+    inner = (iy >= 1) & (iy <= ny - 2) & (ix >= 1) & (ix <= nx - 2)
+    par_yx = iy + ix
+
+    @pl.when(p < nz)
+    def _():
+        win[pl.ds(p % W, 1)] = sol_ref[:]
+        rwin[pl.ds(p % R, 1)] = rhs_ref[:]
+
+    def update(q, color):
+        s0 = q % W
+        a = win[pl.ds((q - 1) % W, 1)]
+        b = win[pl.ds(s0, 1)]
+        c = win[pl.ds((q + 1) % W, 1)]
+        f = rwin[pl.ds(q % R, 1)]
+        corr = scale * (f - _apply_star_plane(a, b, c, cs))
+        mask = inner & (((par_yx + q) % 2) == color)
+        win[pl.ds(s0, 1)] = jnp.where(mask, b + corr, b)
+
+    for lag in range(1, 2 * K + 1):
+        q = p - lag
+        color = 0 if (lag % 2 == 1) else 1
+
+        @pl.when((q >= 1) & (q <= nz - 2))
+        def _(q=q, color=color):
+            update(q, color)
+
+    # residual + y/x restriction of the fully-smoothed plane q
+    q = p - 2 * K - 1
+
+    @pl.when((q >= 1) & (q <= nz - 2))
+    def _():
+        a = win[pl.ds((q - 1) % W, 1)]
+        b = win[pl.ds(q % W, 1)]
+        c = win[pl.ds((q + 1) % W, 1)]
+        f = rwin[pl.ds(q % R, 1)]
+        r = jnp.where(inner, f - _apply_star_plane(a, b, c, cs), 0.0)
+        r2 = r.reshape(ny, nx)
+        t = jnp.dot(ry_ref[:], r2, preferred_element_type=r2.dtype)
+        rc = jnp.dot(t, rx_ref[:].T, preferred_element_type=r2.dtype)
+        resw[pl.ds(q % 4, 1)] = rc.reshape(1, nyc, nxc)
+
+    @pl.when((q == 0) | (q == nz - 1))
+    def _():
+        resw[pl.ds(q % 4, 1)] = jnp.zeros((1, nyc, nxc), resw.dtype)
+
+    # emit smoothed fine plane p-2K (matches out index map)
+    qo = jnp.clip(p - 2 * K, 0, nz - 1)
+    out_ref[:] = win[pl.ds(qo % W, 1)]
+
+    # (re)write the mapped coarse plane from the restriction ring
+    czi = jnp.clip((p - 2 * K - 3 - lo_z) // 2, 0, nzc - 1)
+    total = jnp.zeros((1, nyc, nxc), outc_ref.dtype)
+    for k in range(nw):
+        qk = 2 * czi + lo_z + k
+        valid = (qk >= 0) & (qk <= nz - 1) & (qk >= p - 2 * K - 4) \
+            & (qk <= p - 2 * K - 1)
+        total = total + jnp.where(valid, wz[k] * resw[pl.ds(qk % 4, 1)], 0.0)
+    outc_ref[:] = total
+
+
+@functools.lru_cache(maxsize=64)
+def _build_smooth_down_3d(nz, ny, nx, nzc, nyc, nxc, K, cs_key, omega,
+                          wz, lo_z, dtype_str, interpret):
+    cs = (cs_key[0], tuple(cs_key[1:]))
+    W, R = 2 * K + 3, 2 * K + 2
+    dtype = jnp.dtype(dtype_str)
+    kernel = functools.partial(
+        _smooth_down_kernel, nz=nz, ny=ny, nx=nx, nzc=nzc, nyc=nyc, nxc=nxc,
+        K=K, W=W, R=R, cs=cs, omega=omega, wz=wz, lo_z=lo_z,
+    )
+    plane = ny * _round_up(nx, 128) * dtype.itemsize
+    vmem = (W + R + 12) * plane + 8 * nyc * _round_up(nxc, 128) * dtype.itemsize
+    call = pl.pallas_call(
+        kernel,
+        grid=(nz + 2 * K + 2,),
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nzc, nyc, nxc), dtype),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nyc, ny), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nxc, nx), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ny, nx),
+                         lambda p: (jnp.clip(p - 2 * K, 0, nz - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nyc, nxc),
+                         lambda p: (jnp.clip((p - 2 * K - 3 - lo_z) // 2, 0, nzc - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, ny, nx), dtype),
+            pltpu.VMEM((R, ny, nx), dtype),
+            pltpu.VMEM((4, nyc, nxc), dtype),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(vmem * 1.3 + (4 << 20), 127 * 1024 * 1024)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(K * 2 + 1) * 14 * nz * ny * nx + 2 * (nyc + nxc) * nz * ny * nx // 2,
+            bytes_accessed=(3 * nz * ny * nx + nzc * nyc * nxc) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+def smooth_res_restrict_fused_3d(sol, rhs, offsets, coefs, omega, n_iters,
+                                 ry, rx, wz, lo_z, coarse_shape,
+                                 interpret: bool = False):
+    """K=n_iters RBGS iterations + residual + restriction in ONE pass:
+    returns (smoothed sol, coarse rhs).  n_iters must fit the VMEM
+    window (callers check via max_fused_k_3d)."""
+    cs = _star_coefs(offsets, coefs, 3)
+    if cs is None:
+        raise ValueError("not a constant radius-1 star stencil")
+    nz, ny, nx = sol.shape
+    nzc, nyc, nxc = coarse_shape
+    fn = _build_smooth_down_3d(nz, ny, nx, nzc, nyc, nxc, int(n_iters),
+                               (cs[0],) + tuple(cs[1]), float(omega),
+                               tuple(wz), int(lo_z), str(sol.dtype), interpret)
+    return fn(sol, rhs, ry, rx)
+
+
+def _up_smooth_kernel(sol_ref, rhs_ref, cL_ref, cH_ref, py_ref, px_ref,
+                      out_ref, win, rwin,
+                      *, nz, ny, nx, nzc, nyc, nxc, K, W, R, cs, omega,
+                      wz, lo_z):
+    """Ingest plane p as sol + prolonged correction, then the rbgs
+    wavefront applies K post-smoothing iterations behind the ingest
+    front; plane p-2K is emitted fully smoothed."""
+    c0 = cs[0]
+    scale = omega / c0
+    p = pl.program_id(0)
+    nw = len(wz)
+    dtype = out_ref.dtype
+
+    iy = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 2)
+    inner = (iy >= 1) & (iy <= ny - 2) & (ix >= 1) & (ix <= nx - 2)
+    par_yx = iy + ix
+
+    @pl.when(p < nz)
+    def _():
+        czH = (p - lo_z) // 2
+        czL = czH - 1
+        wH = jnp.zeros((), dtype)
+        wL = jnp.zeros((), dtype)
+        for k in range(nw):
+            num = p - lo_z - k
+            cz = num // 2
+            ok = (num % 2 == 0) & (cz >= 0) & (cz <= nzc - 1)
+            wH = wH + jnp.where(ok & (cz == czH), wz[k], 0.0).astype(dtype)
+            wL = wL + jnp.where(ok & (cz == czL), wz[k], 0.0).astype(dtype)
+
+        def prolong_plane(cref):
+            cpl = cref[:].reshape(nyc, nxc)
+            t = jnp.dot(py_ref[:], cpl, preferred_element_type=cpl.dtype)
+            return jnp.dot(t, px_ref[:].T, preferred_element_type=cpl.dtype
+                           ).reshape(1, ny, nx)
+
+        corr = wH * prolong_plane(cH_ref) + wL * prolong_plane(cL_ref)
+        s = sol_ref[:]
+        write = inner & (p >= 1) & (p <= nz - 2)
+        win[pl.ds(p % W, 1)] = jnp.where(write, s + corr, s)
+        rwin[pl.ds(p % R, 1)] = rhs_ref[:]
+
+    def update(q, color):
+        s0 = q % W
+        a = win[pl.ds((q - 1) % W, 1)]
+        b = win[pl.ds(s0, 1)]
+        c = win[pl.ds((q + 1) % W, 1)]
+        f = rwin[pl.ds(q % R, 1)]
+        corr = scale * (f - _apply_star_plane(a, b, c, cs))
+        mask = inner & (((par_yx + q) % 2) == color)
+        win[pl.ds(s0, 1)] = jnp.where(mask, b + corr, b)
+
+    for lag in range(1, 2 * K + 1):
+        q = p - lag
+        color = 0 if (lag % 2 == 1) else 1
+
+        @pl.when((q >= 1) & (q <= nz - 2))
+        def _(q=q, color=color):
+            update(q, color)
+
+    qo = jnp.clip(p - 2 * K, 0, nz - 1)
+    out_ref[:] = win[pl.ds(qo % W, 1)]
+
+
+@functools.lru_cache(maxsize=64)
+def _build_up_smooth_3d(nz, ny, nx, nzc, nyc, nxc, K, cs_key, omega,
+                        wz, lo_z, dtype_str, interpret):
+    cs = (cs_key[0], tuple(cs_key[1:]))
+    W, R = 2 * K + 3, 2 * K + 2
+    dtype = jnp.dtype(dtype_str)
+    kernel = functools.partial(
+        _up_smooth_kernel, nz=nz, ny=ny, nx=nx, nzc=nzc, nyc=nyc, nxc=nxc,
+        K=K, W=W, R=R, cs=cs, omega=omega, wz=wz, lo_z=lo_z,
+    )
+    plane = ny * _round_up(nx, 128) * dtype.itemsize
+    vmem = (W + R + 12) * plane + 8 * nyc * _round_up(nxc, 128) * dtype.itemsize
+    call = pl.pallas_call(
+        kernel,
+        grid=(nz + 2 * K,),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        in_specs=[
+            pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nyc, nxc),
+                         lambda p: (jnp.clip((p - lo_z) // 2 - 1, 0, nzc - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nyc, nxc),
+                         lambda p: (jnp.clip((p - lo_z) // 2, 0, nzc - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, nyc), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nx, nxc), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ny, nx), lambda p: (jnp.clip(p - 2 * K, 0, nz - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, ny, nx), dtype),
+            pltpu.VMEM((R, ny, nx), dtype),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(vmem * 1.3 + (4 << 20), 127 * 1024 * 1024)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(K * 2 + 1) * 14 * nz * ny * nx,
+            bytes_accessed=(3 * nz * ny * nx + 2 * nzc * nyc * nxc) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+def prolong_correct_smooth_fused_3d(sol, sol_c, rhs, offsets, coefs, omega,
+                                    n_iters, py, px, wz, lo_z,
+                                    interpret: bool = False):
+    """Prolongation + correction + K=n_iters RBGS post-smoothing
+    iterations in ONE pass over sol/rhs."""
+    cs = _star_coefs(offsets, coefs, 3)
+    if cs is None:
+        raise ValueError("not a constant radius-1 star stencil")
+    nz, ny, nx = sol.shape
+    nzc, nyc, nxc = sol_c.shape
+    fn = _build_up_smooth_3d(nz, ny, nx, nzc, nyc, nxc, int(n_iters),
+                             (cs[0],) + tuple(cs[1]), float(omega),
+                             tuple(wz), int(lo_z), str(sol.dtype), interpret)
+    return fn(sol, rhs, sol_c, sol_c, py, px)
+
+
+def max_fused_k_3d(ny, nx, itemsize) -> int:
+    """Largest K whose whole-leg VMEM window fits (same budget as the
+    fused smoother)."""
+    return _max_k(ny, nx, itemsize)

@@ -69,25 +69,33 @@ class VCycleTrafficModel:
     #     half-sweep (stream3d.rbgs_fused_3d)
     #   fused_legs: residual+restrict / prolong+correct single passes
     #     (stream3d.res_restrict_fused_3d / prolong_correct_fused_3d)
+    #   fused_level: the ENTIRE down leg (pre-smooth+residual+restrict)
+    #     and up leg (prolong+correct+post-smooth) are each one pass
+    #     (stream3d.smooth_res_restrict_fused_3d /
+    #     prolong_correct_smooth_fused_3d) -> 3+1/2^d arrays per leg
     fused_smoother: bool = False
     fused_legs: bool = False
+    fused_level: bool = False
 
     def bytes_per_fine_dof(self) -> float:
         level_sum = 1.0 / (1.0 - 0.5 ** self.ndim)  # sum over levels of (1/2^d)^l
         ratio = 0.5 ** self.ndim
-        if self.fused_smoother:
-            smoother = 2 * 3  # one 3-array block for pre, one for post
+        if self.fused_level:
+            per_level = 2 * (3 + ratio)  # one pass down, one pass up
         else:
-            smoother = (self.n_pre + self.n_post) * self.colors * 3
-        if self.fused_legs:
-            residual = 0
-            restrict = 2 + ratio  # read sol+rhs, write coarse rhs
-            prolong = 2 + ratio  # read sol + coarse sol, write sol
-        else:
-            residual = 3
-            restrict = 1 + ratio
-            prolong = 2 + ratio
-        per_level = smoother + residual + restrict + prolong
+            if self.fused_smoother:
+                smoother = 2 * 3  # one 3-array block for pre, one for post
+            else:
+                smoother = (self.n_pre + self.n_post) * self.colors * 3
+            if self.fused_legs:
+                residual = 0
+                restrict = 2 + ratio  # read sol+rhs, write coarse rhs
+                prolong = 2 + ratio  # read sol + coarse sol, write sol
+            else:
+                residual = 3
+                restrict = 1 + ratio
+                prolong = 2 + ratio
+            per_level = smoother + residual + restrict + prolong
         check = (3 + 1) if self.check_residual else 0  # residual + norm read, finest only
         return (per_level * level_sum + check) * self.dtype_bytes
 

@@ -71,6 +71,11 @@ class MGLevelOps:
     # in one pass, prolongation+correction in one pass
     res_restrict_fn: Optional[Callable] = None  # (sol, rhs) -> rhs_coarse
     prolong_correct_fn: Optional[Callable] = None  # (sol, sol_c) -> sol
+    # whole-leg fusion: pre-smooth+residual+restrict / prolong+correct+
+    # post-smooth, each one memory pass (supersedes the pair above AND
+    # the smoothing calls when set)
+    down_leg_fn: Optional[Callable] = None  # (sol, rhs) -> (sol, rhs_c)
+    up_leg_fn: Optional[Callable] = None  # (sol, sol_c, rhs) -> sol
 
 
 @dataclass
@@ -114,7 +119,9 @@ class Multigrid:
             return self.coarse_solve(sol, rhs)
 
         sol, rhs = self._hook("pre", level, sol, rhs)
-        sol = _smooth_n(lv, self.n_pre, sol, rhs)
+        fused_down = lv.down_leg_fn is not None and not self.fas
+        if not fused_down:
+            sol = _smooth_n(lv, self.n_pre, sol, rhs)
 
         coarse = self.levels[level - 1]
 
@@ -128,8 +135,12 @@ class Multigrid:
                 return lv.prolong_fn(coarse.exchange(arr))
             return prolong(lv.prolong_op, coarse.exchange(arr), lv.shape)
 
-        if lv.res_restrict_fn is not None and not self.fas:
-            # fused down-leg: residual + restriction in one memory pass
+        if fused_down:
+            # whole down leg (pre-smooth + residual + restriction) in
+            # one memory pass
+            sol, rhs_c = lv.down_leg_fn(sol, rhs)
+        elif lv.res_restrict_fn is not None and not self.fas:
+            # fused down-leg tail: residual + restriction in one pass
             rhs_c = lv.res_restrict_fn(lv.exchange(sol), rhs)
         else:
             res = self.residual(level, sol, rhs)
@@ -151,14 +162,18 @@ class Multigrid:
         for rk in recurse_kinds:
             sol_c = self.cycle(sol_c, rhs_c, level - 1, kind=rk)
 
-        if lv.prolong_correct_fn is not None and not self.fas:
-            # fused up-leg: prolongation + correction in one memory pass
-            sol = lv.prolong_correct_fn(sol, coarse.exchange(sol_c))
+        if lv.up_leg_fn is not None and not self.fas:
+            # whole up leg (prolongation + correction + post-smoothing)
+            # in one memory pass
+            sol = lv.up_leg_fn(sol, coarse.exchange(sol_c), rhs)
         else:
-            corr = do_prolong(sol_c - sol_c0) if self.fas else do_prolong(sol_c)
-            sol = lv.bc_sol(sol + corr)
-
-        sol = _smooth_n(lv, self.n_post, sol, rhs)
+            if lv.prolong_correct_fn is not None and not self.fas:
+                # fused up-leg head: prolongation + correction in one pass
+                sol = lv.prolong_correct_fn(sol, coarse.exchange(sol_c))
+            else:
+                corr = do_prolong(sol_c - sol_c0) if self.fas else do_prolong(sol_c)
+                sol = lv.bc_sol(sol + corr)
+            sol = _smooth_n(lv, self.n_post, sol, rhs)
         sol, rhs = self._hook("post", level, sol, rhs)
         return sol
 

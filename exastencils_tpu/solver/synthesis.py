@@ -256,16 +256,28 @@ def generate_solver(
             )
         restrict_fn = prolong_fn = None
         res_restrict_fn = prolong_correct_fn = None
+        down_leg_fn = up_leg_fn = None
         if lvl > k.minLevel:
             restrict_fn, prolong_fn = backend.transfer_fns(lvl, restrict_op, prolong_op)
             if k.tpu_use_pallas and not backend.is_sharded and nd == 3:
-                from exastencils_tpu.ops.pallas import make_fused_transfers_3d
-
-                res_restrict_fn, prolong_correct_fn = make_fused_transfers_3d(
-                    A, u, lvl, h.work_shape,
-                    backend.handle(lvl - 1).work_shape,
-                    restrict_op, prolong_op,
+                from exastencils_tpu.ops.pallas import (
+                    make_fused_legs_3d,
+                    make_fused_transfers_3d,
                 )
+
+                coarse_shape = backend.handle(lvl - 1).work_shape
+                if smoother_kind in ("RBGS", "GaussSeidel", "GS"):
+                    down_leg_fn, up_leg_fn = make_fused_legs_3d(
+                        A, u, lvl, h.work_shape, coarse_shape,
+                        restrict_op, prolong_op, omega,
+                        k.solver_smoother_numPre, k.solver_smoother_numPost,
+                        num_colors,
+                    )
+                if down_leg_fn is None:
+                    res_restrict_fn, prolong_correct_fn = make_fused_transfers_3d(
+                        A, u, lvl, h.work_shape, coarse_shape,
+                        restrict_op, prolong_op,
+                    )
         levels[lvl] = MGLevelOps(
             grid=g,
             shape=h.work_shape,
@@ -281,6 +293,8 @@ def generate_solver(
             smooth_n=smooth_n,
             res_restrict_fn=res_restrict_fn,
             prolong_correct_fn=prolong_correct_fn,
+            down_leg_fn=down_leg_fn,
+            up_leg_fn=up_leg_fn,
         )
 
     lv0 = levels[k.minLevel]

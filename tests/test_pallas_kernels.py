@@ -152,3 +152,66 @@ def test_prolong_correct_fused_matches_jnp(level):
                                    wz, Pop.lo[0], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-12, atol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# whole-leg fusion: pre-smooth+residual+restrict / prolong+correct+
+# post-smooth vs the step-by-step jnp composition
+# ----------------------------------------------------------------------
+
+from exastencils_tpu.ops.pallas.stream3d import (
+    prolong_correct_smooth_fused_3d,
+    smooth_res_restrict_fused_3d,
+)
+
+
+@pytest.mark.parametrize("level,K", [(3, 1), (3, 3), (4, 2)])
+def test_smooth_down_leg_matches_jnp(level, K):
+    rng = np.random.default_rng(5)
+    n = 2 ** level + 1
+    fine = (n, n, n)
+    coarse = ((n - 1) // 2 + 1,) * 3
+    sol = jnp.asarray(rng.standard_normal(fine))
+    rhs = jnp.asarray(rng.standard_normal(fine))
+    A = star3d()
+    R = node_restriction(3)
+    r_mats = [jnp.asarray(m) for m in build_restrict_mats(R, coarse, fine, coarse)]
+    wz = separable_kernels(R)[0]
+
+    s_want = rbgs_reference(sol, rhs, A, 0.8, K)
+    residual = jnp.where(jnp.asarray(inner_mask(fine)),
+                         rhs - apply_stencil(A, s_want), 0.0)
+    rc_want = apply_separable(r_mats, residual)
+
+    s_got, rc_got = smooth_res_restrict_fused_3d(
+        sol, rhs, A.offsets, A.coefs, 0.8, K, r_mats[1], r_mats[2],
+        wz, R.lo[0], coarse, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_want),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rc_got), np.asarray(rc_want),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("level,K", [(3, 1), (3, 3), (4, 2)])
+def test_up_smooth_leg_matches_jnp(level, K):
+    rng = np.random.default_rng(9)
+    n = 2 ** level + 1
+    fine = (n, n, n)
+    coarse = ((n - 1) // 2 + 1,) * 3
+    sol = jnp.asarray(rng.standard_normal(fine))
+    sol_c = jnp.asarray(rng.standard_normal(coarse))
+    rhs = jnp.asarray(rng.standard_normal(fine))
+    A = star3d()
+    Pop = node_prolongation(3)
+    p_mats = [jnp.asarray(m) for m in build_prolong_mats(Pop, fine, coarse, fine)]
+    wz = separable_kernels(Pop)[0]
+
+    corr = apply_separable(p_mats, sol_c)
+    s_want = jnp.where(jnp.asarray(inner_mask(fine)), sol + corr, sol)
+    s_want = rbgs_reference(s_want, rhs, A, 0.8, K)
+
+    s_got = prolong_correct_smooth_fused_3d(
+        sol, sol_c, rhs, A.offsets, A.coefs, 0.8, K, p_mats[1], p_mats[2],
+        wz, Pop.lo[0], interpret=True)
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_want),
+                               rtol=1e-12, atol=1e-12)
