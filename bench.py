@@ -124,7 +124,18 @@ def main():
     model = VCycleTrafficModel(ndim=3, dtype_bytes=4, check_residual=False)
     bw = HBM_BANDWIDTH.get(chip, HBM_BANDWIDTH["cpu"])
     roofline = model.roofline_glups(bw)
-    fused = bool(k.tpu_use_pallas) and platform == "tpu"
+    # report the kernel mode ACTUALLY selected by synthesis (advisor r3
+    # #4: n_pre/n_post beyond k_max or a non-star stencil can silently
+    # fall back to pairwise transfers or plain XLA)
+    lvls = [solver.mg.levels[l] for l in range(k.minLevel + 1, k.maxLevel + 1)]
+    if lvls and all(lv.down_leg_fn is not None for lv in lvls):
+        kernel_mode = "pallas-whole-leg"
+    elif any(lv.res_restrict_fn is not None for lv in lvls):
+        kernel_mode = "pallas-pairwise"
+    elif any(lv.smooth_n is not None for lv in lvls):
+        kernel_mode = "pallas-smoother"
+    else:
+        kernel_mode = "xla"
     roofline_fused = VCycleTrafficModel(
         ndim=3, dtype_bytes=4, check_residual=False,
         fused_smoother=True, fused_legs=True, fused_level=True,
@@ -139,7 +150,7 @@ def main():
         "roofline_glups": round(roofline, 3),
         "roofline_fused_glups": round(roofline_fused, 3),
         "vs_fused_roofline": round(glups / roofline_fused, 4),
-        "kernel_mode": "pallas-whole-leg" if fused else "xla",
+        "kernel_mode": kernel_mode,
         "residual_drop_1cycle": r1 / r0,
     }
 

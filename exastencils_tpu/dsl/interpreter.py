@@ -1242,8 +1242,12 @@ class L4Executable:
             # into interpolated offset accesses * face area (gridops,
             # reference IR_IntegrateOnGrid/IR_EvaluateOnGrid), then
             # evaluate the rewritten expression normally
+            # keyed by id(e) WITH the node retained in the entry: id
+            # reuse after GC of a transient AST can otherwise alias a
+            # different call site to a stale expansion (advisor r3 #3)
             key = id(e)
-            cached = self._gridcall_cache.get(key)
+            hit = self._gridcall_cache.get(key)
+            cached = hit[1] if hit is not None and hit[0] is e else None
             if cached is None:
                 from exastencils_tpu.dsl.gridops import expand_grid_call
 
@@ -1256,7 +1260,7 @@ class L4Executable:
                 cached = expand_grid_call(e, self.k.dimensionality, loc_of)
                 if cached is None:
                     raise ValueError(f"unrecognized grid call {name!r}")
-                self._gridcall_cache[key] = cached
+                self._gridcall_cache[key] = (e, cached)
             return self.eval_expr(cached, fr, loop)
         if name in _MATH_FNS:
             return _MATH_FNS[name](self.eval_expr(e.args[0], fr, loop))

@@ -53,6 +53,17 @@ def make_fused_smoother_3d(
     return smooth_n
 
 
+def _z_geometry_ok(lo_r: int, n_r: int, lo_p: int, n_p: int) -> bool:
+    """The down kernels' 4-deep restriction ring covers only the default
+    node (lo=-1, 3-tap) and cell (lo=0, 2-tap) z-geometries, and the up
+    kernel fetches exactly two coarse planes (czH, czH-1) — sound only
+    for <=3-tap prolongation windows.  Wider user-supplied separable
+    transfer ops must take the XLA path (advisor r3 finding #2)."""
+    if (lo_r, n_r) not in ((-1, 3), (0, 2)):
+        return False
+    return n_p <= 3
+
+
 def make_fused_transfers_3d(
     A, field: Field, level: int, fine_shape, coarse_shape,
     restrict_op, prolong_op,
@@ -87,6 +98,8 @@ def make_fused_transfers_3d(
     py, px = jnp.asarray(p_mats[1]), jnp.asarray(p_mats[2])
     wz_r, lo_r = tuple(r_kern[0]), int(restrict_op.lo[0])
     wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
+    if not _z_geometry_ok(lo_r, len(wz_r), lo_p, len(wz_p)):
+        return None, None
     coarse_shape = tuple(coarse_shape)
 
     def res_restrict(sol, rhs):
@@ -104,7 +117,7 @@ def make_fused_transfers_3d(
 def make_fused_legs_3d(
     A, field: Field, level: int, fine_shape, coarse_shape,
     restrict_op, prolong_op, omega: float, n_pre: int, n_post: int,
-    num_colors: int,
+    num_colors: int, itemsize: int = 4,
 ):
     """Whole-leg fusion for the dense 3D path: the entire down leg
     (n_pre RBGS iterations + residual + restriction) and the entire up
@@ -125,8 +138,7 @@ def make_fused_legs_3d(
         return None, None
     if not pallas_applicable_3d(tuple(fine_shape), A.offsets, A.coefs):
         return None, None
-    itemsize = 4
-    k_max = max_fused_k_3d(fine_shape[1], fine_shape[2], itemsize)
+    k_max = max_fused_k_3d(fine_shape[1], fine_shape[2], int(itemsize))
     if n_pre > k_max or n_post > k_max or n_pre < 1 or n_post < 1:
         return None, None
     try:
@@ -142,6 +154,8 @@ def make_fused_legs_3d(
     py, px = jnp.asarray(p_mats[1]), jnp.asarray(p_mats[2])
     wz_r, lo_r = tuple(r_kern[0]), int(restrict_op.lo[0])
     wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
+    if not _z_geometry_ok(lo_r, len(wz_r), lo_p, len(wz_p)):
+        return None, None
     coarse_shape = tuple(coarse_shape)
 
     def down(sol, rhs):

@@ -385,6 +385,15 @@ class ShardedBackend:
                 lambda sol_c: self.scatter_local(
                     fine_level, apply_separable(p_mats, sol_c)),
             )
+        # shardability is monotone toward coarse levels: a replicated
+        # fine level above a sharded coarse one would fall through to
+        # the fragment-local path with a dense handle and crash — fail
+        # loudly if the invariant is ever broken (advisor r3 #5)
+        if fine_rep and not coarse_rep:
+            raise AssertionError(
+                "replicated fine level above sharded coarse level: the "
+                "replication threshold must be monotone toward coarse levels"
+            )
         g = self.topo.ghost
         nd = self.topo.ndim
 

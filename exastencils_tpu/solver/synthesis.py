@@ -272,6 +272,7 @@ def generate_solver(
                         restrict_op, prolong_op, omega,
                         k.solver_smoother_numPre, k.solver_smoother_numPost,
                         num_colors,
+                        itemsize=jnp.dtype(k.real_dtype).itemsize,
                     )
                 if down_leg_fn is None:
                     res_restrict_fn, prolong_correct_fn = make_fused_transfers_3d(
