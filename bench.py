@@ -127,12 +127,14 @@ def main():
     # report the kernel mode ACTUALLY selected by synthesis (advisor r3
     # #4: n_pre/n_post beyond k_max or a non-star stencil can silently
     # fall back to pairwise transfers or plain XLA)
-    lvls = [solver.mg.levels[l] for l in range(k.minLevel + 1, k.maxLevel + 1)]
-    if lvls and all(lv.down_leg_fn is not None for lv in lvls):
+    # judge by the finest level: tiny coarse levels legitimately fall
+    # back (pallas_applicable_3d needs nz >= 5) without hurting traffic
+    top = solver.mg.levels[k.maxLevel]
+    if top.down_leg_fn is not None:
         kernel_mode = "pallas-whole-leg"
-    elif any(lv.res_restrict_fn is not None for lv in lvls):
+    elif top.res_restrict_fn is not None:
         kernel_mode = "pallas-pairwise"
-    elif any(lv.smooth_n is not None for lv in lvls):
+    elif top.smooth_n is not None:
         kernel_mode = "pallas-smoother"
     else:
         kernel_mode = "xla"

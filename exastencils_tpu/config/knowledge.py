@@ -133,6 +133,10 @@ class Knowledge:
     tpu_coarse_replicate_threshold: int = 32  # replicate levels with <= N cells/dim/shard
     tpu_shard_dsl: bool = True  # place DSL fields on a device mesh (GSPMD)
     tpu_stage_functions: bool = True  # jit traceable statement runs (staged DSL exec)
+    # route recognized DSL multigrid legs through the Pallas whole-leg
+    # kernels (dense 3D path; dsl/fastpath.py) — the analog of the
+    # reference compiling its L4 input into optimized kernels
+    tpu_dsl_fastpath: bool = True
 
     # --- optimization flags (accepted; mostly delegated to XLA) ---
     poly_optLevel_fine: int = 0

@@ -336,6 +336,19 @@ class L4Executable:
         self._cout_precision = 6  # std::cout default (native() emulation)
         self._cout_saved = 6
         self._pending_out = ""  # newline-less std::cout << segments
+
+        # --- fast path: staged legs routed through the Pallas whole-leg
+        # kernels (dsl/fastpath.py); fields whose stores were elided as
+        # provably dead carry a rematerializer in _stale ---
+        self._stale: Dict[Tuple[str, int], object] = {}
+        self._stale_proven: set = set()
+        self._fastpath = None
+        from exastencils_tpu.dsl.fastpath import fastpath_enabled
+
+        if fastpath_enabled(self):
+            from exastencils_tpu.dsl.fastpath import FastPathPlanner
+
+            self._fastpath = FastPathPlanner(self)
         self.init_fields_with_zero()
 
     # ------------------------------------------------------------------
@@ -569,6 +582,11 @@ class L4Executable:
         return self._shardings[key]
 
     def get_field(self, name: str, level: int, slot: Optional[str] = None):
+        if self._stale and (name, level) in self._stale:
+            # dead-store-elided field (fast path): rematerialize for the
+            # current iterate before anyone reads it
+            mat = self._stale.pop((name, level))
+            mat()
         info = self.fields[name]
         arr = self.state[(name, level)]
         if info.num_slots > 1:
@@ -576,7 +594,16 @@ class L4Executable:
             return arr[idx]
         return arr
 
+    def mark_stale(self, key: Tuple[str, int], materializer):
+        """Record a dead-store-elided field (fast path): `materializer()`
+        rebuilds it from the current state when read via get_field.
+        Every caller carries a liveness proof that no in-program read
+        can observe the staleness (dsl/liveness.py)."""
+        self._stale[key] = materializer
+        self._stale_proven.add(key)
+
     def set_field(self, name: str, level: int, value, slot: Optional[str] = None):
+        self._stale.pop((name, level), None)
         info = self.fields[name]
         if info.num_slots > 1:
             idx = self._slot_idx(name, level, slot)
@@ -2000,7 +2027,19 @@ class L4Executable:
         # the input surface); a missed read KeyErrors at trace time and
         # falls back to eager execution — never silently wrong
         state_keys = tuple(sorted(k2 for k2 in self.state if k2[0] in refs))
-        key = (key0, traced_names, const_items, slot_snap, state_keys)
+        # staleness is part of the trace signature: a run traced while a
+        # field was dead-store-elided rematerializes it inside the trace
+        # (and vice versa) — replaying across different staleness would
+        # read the wrong array.  Keys whose staleness is liveness-PROVEN
+        # unread (every fast-path elision) cannot influence the trace
+        # and are excluded, so the steady-state staleness of cycle 2+
+        # replays cycle 1's trace instead of recompiling (dsl/fastpath)
+        stale_snap = tuple(sorted(
+            k2 for k2 in self._stale
+            if k2 in state_keys and k2 not in self._stale_proven
+        ))
+        key = (key0, traced_names, const_items, slot_snap, state_keys,
+               stale_snap)
         entry = self._stage_cache.get(key)
         state_in = tuple(self.state[k2] for k2 in state_keys)
         vars_in = tuple(lookup(n) for n in traced_names)
@@ -2033,6 +2072,9 @@ class L4Executable:
         state_out, var_out, glob_out = outs
         for k2, v in zip(state_keys, state_out):
             self.state[k2] = v
+        for k2 in entry["stale_removed"]:
+            self._stale.pop(k2, None)
+        self._stale.update(entry["stale_added"])
         for n, v in zip(entry["out_var_names"], var_out):
             fr.vars[n] = v
         for n, v in zip(entry["out_glob_names"], glob_out):
@@ -2052,10 +2094,12 @@ class L4Executable:
             "out_var_names": (), "out_glob_names": (),
             "py_vars": (), "py_globs": (),
             "post_slots": dict(self.slot_index),
+            "stale_added": {}, "stale_removed": (),
         }
 
         def fn(state_in, vars_in):
-            prev = (self.state, self.globals, self.slot_index, self._in_trace)
+            prev = (self.state, self.globals, self.slot_index, self._in_trace,
+                    self._stale)
             fr2 = Frame(dict(base_vars), fr.level)
             glob2 = dict(base_globals)
             for n, v in zip(traced_names, vars_in):
@@ -2066,10 +2110,10 @@ class L4Executable:
             self.state = dict(zip(state_keys, state_in))
             self.globals = glob2
             self.slot_index = dict(prev[2])
+            self._stale = dict(prev[4])
             self._in_trace = True
             try:
-                for s in stmts:
-                    self.exec_stmt(s, fr2, None)
+                self._exec_plan_aware(stmts, fr2, None)
                 extra = set(self.state) - set(state_keys)
                 if extra:
                     # a write escaped the static ref scan — refuse the
@@ -2100,13 +2144,20 @@ class L4Executable:
                     (n, glob2[n]) for n in glob_changed
                     if not is_traced(glob2[n]))
                 entry["post_slots"] = dict(self.slot_index)
+                entry["stale_added"] = {
+                    k2: v for k2, v in self._stale.items() if k2 not in prev[4]
+                }
+                entry["stale_removed"] = tuple(
+                    k2 for k2 in prev[4] if k2 not in self._stale
+                )
                 return (
                     out_state,
                     tuple(fr2.vars[n] for n in entry["out_var_names"]),
                     tuple(glob2[n] for n in entry["out_glob_names"]),
                 )
             finally:
-                self.state, self.globals, self.slot_index, self._in_trace = prev
+                (self.state, self.globals, self.slot_index, self._in_trace,
+                 self._stale) = prev
 
         entry["fn"] = jax.jit(fn)
         return entry
@@ -2553,14 +2604,34 @@ class L4Executable:
                 if staged:
                     self._run_staged(run, fr)
                 else:
-                    for s in run:
-                        self.exec_stmt(s, fr, loop)
+                    self._exec_plan_aware(run, fr, loop)
         finally:
             for name in declared:
                 if name in shadowed:
                     fr.vars[name] = shadowed[name]
                 else:
                     fr.vars.pop(name, None)
+
+    def _exec_plan_aware(self, stmts: List[N.Stmt], fr: Frame, loop=None):
+        """Execute a statement run, routing recognized multigrid legs
+        through the Pallas fast path (dsl/fastpath.py).  Called both
+        eagerly and inside staged traces — the fused kernels bake into
+        the enclosing jit, so a whole V-cycle stays ONE dispatch."""
+        plan = ()
+        if self._fastpath is not None and loop is None and fr.level is not None:
+            plan = self._fastpath.plan(stmts, fr.level)
+        if not plan:
+            for s in stmts:
+                self.exec_stmt(s, fr, loop)
+            return
+        idx = 0
+        for seg in plan:
+            for s in stmts[idx:seg.start]:
+                self.exec_stmt(s, fr, loop)
+            seg.run(self, fr)
+            idx = seg.end + 1
+        for s in stmts[idx:]:
+            self.exec_stmt(s, fr, loop)
 
     def exec_stmt(self, s: N.Stmt, fr: Frame, loop: Optional[_LoopCtx] = None):
         if isinstance(s, N.VarDecl):

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import numpy as np
 
 from exastencils_tpu.core.field import DirichletBC, Field
 from exastencils_tpu.ops.pallas.stream3d import (
@@ -73,8 +74,6 @@ def make_fused_transfers_3d(
     contract (separable transfer windows, constant star stencil,
     Dirichlet bc).  Returns (res_restrict(sol, rhs) -> coarse_rhs,
     prolong_correct(sol, sol_c) -> sol)."""
-    import jax.numpy as jnp
-
     from exastencils_tpu.ops.transfer import (
         build_prolong_mats,
         build_restrict_mats,
@@ -94,8 +93,11 @@ def make_fused_transfers_3d(
         return None, None
     interp = _interpret_mode()
     offsets, coefs = A.offsets, A.coefs
-    ry, rx = jnp.asarray(r_mats[1]), jnp.asarray(r_mats[2])
-    py, px = jnp.asarray(p_mats[1]), jnp.asarray(p_mats[2])
+    # keep transfer matrices as HOST numpy: device arrays captured in
+    # closures would be read back from the device when an enclosing jit
+    # lowers them as constants — pathologically slow on tunneled TPUs
+    ry, rx = np.asarray(r_mats[1]), np.asarray(r_mats[2])
+    py, px = np.asarray(p_mats[1]), np.asarray(p_mats[2])
     wz_r, lo_r = tuple(r_kern[0]), int(restrict_op.lo[0])
     wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
     if not _z_geometry_ok(lo_r, len(wz_r), lo_p, len(wz_p)):
@@ -124,8 +126,6 @@ def make_fused_legs_3d(
     leg (prolongation + correction + n_post RBGS iterations) each as ONE
     streaming memory pass.  Returns (down(sol, rhs) -> (sol, rhs_c),
     up(sol, sol_c, rhs) -> sol) or (None, None) outside the contract."""
-    import jax.numpy as jnp
-
     from exastencils_tpu.ops.transfer import (
         build_prolong_mats,
         build_restrict_mats,
@@ -150,8 +150,11 @@ def make_fused_legs_3d(
         return None, None
     interp = _interpret_mode()
     offsets, coefs = A.offsets, A.coefs
-    ry, rx = jnp.asarray(r_mats[1]), jnp.asarray(r_mats[2])
-    py, px = jnp.asarray(p_mats[1]), jnp.asarray(p_mats[2])
+    # keep transfer matrices as HOST numpy: device arrays captured in
+    # closures would be read back from the device when an enclosing jit
+    # lowers them as constants — pathologically slow on tunneled TPUs
+    ry, rx = np.asarray(r_mats[1]), np.asarray(r_mats[2])
+    py, px = np.asarray(p_mats[1]), np.asarray(p_mats[2])
     wz_r, lo_r = tuple(r_kern[0]), int(restrict_op.lo[0])
     wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
     if not _z_geometry_ok(lo_r, len(wz_r), lo_p, len(wz_p)):
