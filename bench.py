@@ -39,21 +39,28 @@ def bench_dsl(size_level: int, n_timed: int):
         useDblPrecision=False,
         tpu_compute_dtype="float32",
     ).update()
+    import jax.numpy as jnp
+
     prog = parse_l4(base)
     ex = L4Executable(prog, k, out=lambda s: None)
     finest = k.maxLevel
     ex.call_function(ex.functions[("InitF", finest)], finest, [])
     cyc = ex.functions[("MGCycle", finest)]
 
+    def readback():
+        # anchor timing on an actual value transfer: block_until_ready
+        # can return early through the axon tunnel
+        return float(jnp.sum(jnp.abs(ex.state[("U", finest)])))
+
     t0 = time.perf_counter()
     ex.call_function(cyc, finest, [])  # warmup / staged compiles
-    jax.block_until_ready(ex.state[("U", finest)])
+    readback()
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(n_timed):
         ex.call_function(cyc, finest, [])
-    jax.block_until_ready(ex.state[("U", finest)])
+    readback()
     elapsed = time.perf_counter() - t0
 
     n = (1 << size_level) + 1
@@ -103,12 +110,14 @@ def main():
     r1 = float(solver._res_norm(sol1, rhs))
     assert r1 < 0.1 * r0, f"V-cycle not converging: {r0} -> {r1}"
 
-    # timed loop (sequential dependency keeps the device busy end-to-end)
+    # timed loop (sequential dependency keeps the device busy end-to-end);
+    # anchored on a value transfer — block_until_ready can return early
+    # through the axon tunnel
     s = sol
     t0 = time.perf_counter()
     for _ in range(n_timed):
         s = cycle(s, rhs)
-    jax.block_until_ready(s)
+    float(jnp.sum(jnp.abs(s)))
     elapsed = time.perf_counter() - t0
 
     n = (1 << size_level) + 1

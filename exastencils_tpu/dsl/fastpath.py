@@ -161,7 +161,13 @@ def match_smoother_stmts(exe, stmts: List[N.Stmt], L: int) -> Optional[SmootherM
     s = stmts[0]
     n = 1
     if isinstance(s, N.RepeatTimes):
-        if s.contraction is not None or s.count_var is not None:
+        # `repeat N times with contraction [..]` (IR_ContractingLoop,
+        # baseExt/ir/IR_ContractingLoop.scala:43) is the reference's
+        # temporal-blocking directive: fuse the N sweeps into one pass
+        # with one (widened) exchange.  The fused Pallas smoother IS
+        # that transform on TPU — the clause selects the same kernel
+        # the matcher picks, so it is accepted (not ignored) here.
+        if s.count_var is not None:
             return None
         cnt = _const_f(exe, s.count)
         if cnt is None or int(cnt) != cnt or cnt < 1:

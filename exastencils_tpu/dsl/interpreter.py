@@ -115,6 +115,32 @@ def _compensated_sum(vals, algo: str):
     return s if algo == "kahan" else s + c
 
 
+def _glibc_rand_stream(seed: int = 1):
+    """glibc's default random() / rand(): the TYPE_3 additive-feedback
+    generator (r[i] = r[i-3] + r[i-31] mod 2^32, output >> 1) seeded by
+    the LCG warm-up, exactly as initstate_r does.  Needed to reproduce
+    the reference's `native("((double)std::rand()/RAND_MAX)")` field
+    initialization digit-for-digit (Testing/Opts)."""
+    r = [seed]
+    for i in range(1, 31):
+        # r[i] = (16807 * r[i-1]) % 2147483647 using the signed-overflow-
+        # free formulation glibc documents
+        hi, lo = divmod(r[i - 1], 127773)
+        word = 16807 * lo - 2836 * hi
+        if word < 0:
+            word += 2147483647
+        r.append(word)
+    for i in range(31, 34):
+        r.append(r[i - 31])
+    i = 34
+    while True:
+        v = (r[i - 3] + r[i - 31]) & 0xFFFFFFFF
+        r.append(v)
+        if i >= 344:  # glibc discards the first 310 outputs
+            yield v >> 1
+        i += 1
+
+
 class _FunctionBC:
     """Field boundary handled by a user L4 function (reference
     field decl `Field x< dom, layout, fnName() >`; `apply bc` calls it)."""
@@ -199,6 +225,7 @@ class L4Executable:
         self.capture_hlo = capture_hlo
         self.compiled_hlo: Dict[Tuple, str] = {}
         self._host_rng = np.random.default_rng(0x5EED)  # native() RNG emulation
+        self._glibc_rand = _glibc_rand_stream()  # exact std::rand() (seed 1)
         self._stage_cache: Dict[Tuple, dict] = {}
         self._gridcall_cache: Dict[int, N.Expr] = {}
         self._stage_blacklist: set = set()
@@ -1540,6 +1567,28 @@ class L4Executable:
             # reference's old-style reduced-precision printing relies on
             # (util/ir/IR_ResolvePrintWithReducedPrec pre-refactor form)
             code = str(e.args[0].value) if e.args else ""
+            if "std::rand()" in code:
+                # `((double)std::rand()/RAND_MAX)` random field init
+                # (Testing/Opts InitSolution): reproduce glibc's TYPE_3
+                # additive-feedback rand() EXACTLY (seed 1, never
+                # re-seeded) so the committed .results match digit for
+                # digit.  The generated C++ loop nest iterates x
+                # innermost; numpy boolean fill is last-axis-fastest, so
+                # fill the [z,y,x]-transposed view.
+                if loop is None:
+                    return jnp.asarray(
+                        next(self._glibc_rand) / 2147483647.0, self.dtype)
+                mask = loop.mask
+                shape = tuple(loop.shape)
+                mT = (np.ones(shape[::-1], bool) if mask is None
+                      else np.asarray(mask).T)
+                n_draw = int(mT.sum())
+                draws = np.fromiter(
+                    (next(self._glibc_rand) for _ in range(n_draw)),
+                    dtype=np.float64, count=n_draw) / 2147483647.0
+                arrT = np.zeros(shape[::-1])
+                arrT[mT] = draws
+                return jnp.asarray(arrT.T, self.dtype)
             if "realdist(" in code:
                 shape = tuple(loop.shape) if loop is not None else ()
                 return jnp.asarray(self._host_rng.random(shape), self.dtype)
@@ -2924,6 +2973,7 @@ class L4Executable:
                 and isinstance(s.body[0], N.Assign) \
                 and s.body[0].target.name == s.field.name \
                 and info.num_slots == 1 \
+                and not self._is_native_rand_init(s.body[0].value) \
                 and (s.sequentially or self._self_stencil_dep(s.body[0], lvl)):
             # in-place update reading own neighbors: the reference's C++
             # loop nest is lexicographic (Gauss-Seidel semantics), NOT
@@ -2977,6 +3027,15 @@ class L4Executable:
             op, var = s.reduction
             fr.vars.setdefault(var, 0.0)
         self.exec_block(s.body, fr, loop)
+
+    def _is_native_rand_init(self, e) -> bool:
+        """`f = native("...std::rand()...")` sequential inits carry no
+        self-dependence — they run as one masked assign whose values are
+        laid out in the C++ loop's lexicographic order (the wavefront
+        machinery would trace the concrete rand draws as constants)."""
+        return (isinstance(e, N.Call) and e.name == "native" and e.args
+                and isinstance(e.args[0], N.Str)
+                and "std::rand()" in str(e.args[0].value))
 
     def _exec_seq_loop(self, s: N.LoopOverField, fr: Frame, lvl: int, info, shape):
         """`loop over f sequentially { f (+)= expr }`: lexicographic

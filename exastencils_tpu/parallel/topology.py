@@ -124,6 +124,82 @@ class ShardTopology:
             x = x.at[sl(T - g, T)].set(recv_hi)
         return x
 
+    # ---------------- split (overlapped) halo exchange ----------------
+    #
+    # The reference overlaps communication with interior compute by
+    # splitting `communicate` into begin/finish and the loop into
+    # interior/boundary parts (communication/ir/IR_Communicate.scala:31,
+    # IR_SplitLoops.scala; flags config/Knowledge.scala:800-804).  The
+    # TPU form: issue every neighbor ppermute from the CURRENT array
+    # (start), update the interior — which has no data dependence on the
+    # permutes, so XLA schedules them concurrently — then write the
+    # received slabs and update the dependent boundary shell (finish).
+    #
+    # Contract: all sends leave from the pre-exchange array (no axis
+    # sequencing), so CORNER ghosts are not refreshed — valid exactly
+    # for radius-1 star operators, which never read corners
+    # (comm_onlyAxisNeighbors semantics).
+
+    def exchange_start(self, x, local_cells: Tuple[int, ...]):
+        """Issue all axis-neighbor ppermutes; returns received slabs."""
+        g = self.ghost
+        nd = self.ndim
+        slabs = {}
+        for d in range(nd):
+            if self.P[d] == 1:
+                continue
+            n = local_cells[d]
+
+            def sl(lo, hi, d=d):
+                return tuple(
+                    slice(lo, hi) if i == d else slice(None) for i in range(nd)
+                )
+
+            slabs[(d, +1)] = self._shift(x[sl(n, n + g + 1)], d, +1)
+            slabs[(d, -1)] = self._shift(x[sl(g + 1, 2 * g + 1)], d, -1)
+        return slabs
+
+    def exchange_finish(self, x, slabs, local_cells: Tuple[int, ...]):
+        """Write the slabs from exchange_start into x's ghost+dup layers
+        (same per-plane masking as the fused `exchange`)."""
+        g = self.ghost
+        nd = self.ndim
+        for d in range(nd):
+            if self.P[d] == 1:
+                continue
+            n = local_cells[d]
+            T = x.shape[d]
+
+            def sl(lo, hi, d=d):
+                return tuple(
+                    slice(lo, hi) if i == d else slice(None) for i in range(nd)
+                )
+
+            recv_lo = slabs[(d, +1)]
+            keep = self.is_lo_boundary(d)
+            cur_lo = x[sl(0, g + 1)]
+            mask_shape = [1] * nd
+            mask_shape[d] = g + 1
+            plane = jnp.arange(g + 1).reshape(mask_shape) == g
+            new_lo = jnp.where(jnp.logical_and(keep, plane), cur_lo, recv_lo)
+            x = x.at[sl(0, g + 1)].set(new_lo)
+            x = x.at[sl(T - g, T)].set(slabs[(d, -1)])
+        return x
+
+    def dup_plane_mask(self, shape: Tuple[int, ...], local_cells: Tuple[int, ...]):
+        """True on the dup planes of sharded dims — the only points whose
+        radius-1 stencil reads ghost data (the 'boundary shell' of the
+        interior/boundary loop split)."""
+        g = self.ghost
+        m = None
+        for d in range(self.ndim):
+            if self.P[d] == 1:
+                continue
+            i = lax.broadcasted_iota(jnp.int32, shape, d)
+            mm = jnp.logical_or(i == g, i == g + local_cells[d])
+            m = mm if m is None else jnp.logical_or(m, mm)
+        return m
+
     # ---------------- masks / coordinates ----------------
     def global_index_1d(self, d: int, size: int, local_cells: Tuple[int, ...]):
         """Global node index for each local entry along d (ghosts included,

@@ -242,6 +242,26 @@ def generate_solver(
             A, bc_sol, exchange=h.exchange, omega=omega, coloring=coloring
         )
         smooth_n = None
+        # sharded-path communication structure (reference IR_SplitLoops /
+        # halo aggregation): overlap interior compute with the halo
+        # ppermutes, and/or widen the halo to k layers exchanged once
+        # per k half-sweeps
+        if backend.is_sharded and hasattr(h, "topo"):
+            from exastencils_tpu.ops.smoothers import (
+                is_star_radius1,
+                make_aggregated_smoother,
+                make_overlap_smoother,
+            )
+
+            if k.tpu_overlap_halo and is_star_radius1(A):
+                smooth = make_overlap_smoother(
+                    A, bc_sol, h.topo, h.local_cells, omega, coloring
+                )
+            if k.comm_haloAggregationFactor > 1 and is_star_radius1(A):
+                smooth_n = make_aggregated_smoother(
+                    A, bc_sol, h.topo, h.local_cells, omega, coloring,
+                    k.comm_haloAggregationFactor,
+                )
         if (
             k.tpu_use_pallas
             and not backend.is_sharded

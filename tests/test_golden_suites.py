@@ -31,16 +31,32 @@ CASES = [
     # NonLinear golden; reference solver/l3 FAS branches
     # L3_SolverForEquation.scala:401-452)
     ("NonLinear", "FAS_2D_Basic"),
+    # Opts: the optimization-flag suite — .gitlab-ci.yml pairs every
+    # seq_*.knowledge variant with base.exa4 / tempBlock.exa4 against
+    # the SAME seq.results (optimizations must not change semantics).
+    # tempBlock.exa4 exercises `repeat 3 times with contraction [1,1,1]`
+    # (IR_ContractingLoop) on a slotted Jacobi smoother.
+    ("Opts", ("seq_naive", "base", "seq")),
+    ("Opts", ("seq_all", "tempBlock", "seq")),
 ]
 
 
-@pytest.mark.parametrize("suite,name", CASES, ids=[f"{s}/{n}" for s, n in CASES])
+def _ids():
+    return [f"{s}/{n if isinstance(n, str) else n[1]}" for s, n in CASES]
+
+
+@pytest.mark.parametrize("suite,name", CASES, ids=_ids())
 def test_suite_golden(suite, name, reference_root, tmp_path):
-    base = os.path.join(reference_root, "Testing", suite, name)
+    if isinstance(name, str):
+        kn = exa = res = name
+    else:
+        kn, exa, res = name
+    root = os.path.join(reference_root, "Testing", suite)
+    base = os.path.join(root, res)
     k = Knowledge()
-    parse_config_file(base + ".knowledge", k)
+    parse_config_file(os.path.join(root, kn) + ".knowledge", k)
     k.update()
-    prog = parse_l4(base + ".exa4")
+    prog = parse_l4(os.path.join(root, exa) + ".exa4")
     lines = []
     L4Executable(prog, k, out=lines.append).run()
     # compare through the native golden comparator (the run_test.py
