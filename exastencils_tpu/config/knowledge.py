@@ -22,6 +22,48 @@ from dataclasses import dataclass, field
 
 logger = logging.getLogger("exastencils_tpu")
 
+# .knowledge-compat flags that are READ but deliberately have no effect
+# on TPU, with the design reason (SURVEY.md §7 "XLA owns it" mapping).
+# update() logs any non-default setting of these; the flags-honesty test
+# (tests/test_flags_honesty.py) requires every other flag to have a real
+# consumer.
+ACCEPTED_COMPAT_FLAGS = {
+    # intra-chip parallelism: XLA/Mosaic own threading and vectorization
+    "omp_enabled": "XLA owns intra-chip parallelism",
+    "omp_numThreads": "XLA owns intra-chip parallelism",
+    "omp_parallelizeLoopOverFragments": "XLA owns intra-chip parallelism",
+    "omp_parallelizeLoopOverDimensions": "XLA owns intra-chip parallelism",
+    "mpi_enabled": "device mesh + collectives replace MPI",
+    "mpi_numThreads": "mesh size comes from jax.devices()",
+    "cuda_enabled": "TPU backend; Pallas kernels replace CUDA",
+    # scalar/loop optimization passes deleted by design: XLA fuses,
+    # unrolls, CSEs and schedules (SURVEY.md §7)
+    "poly_optLevel_fine": "XLA owns loop scheduling",
+    "opt_useAddressPrecalc": "XLA owns address computation",
+    "opt_vectorize": "XLA/Mosaic own vectorization",
+    "opt_unroll": "XLA owns unrolling",
+    "opt_useColorSplitting": "color masks are computed, not split storage",
+    "opt_conventionalCSE": "XLA owns CSE",
+    "opt_loopCarriedCSE_skipOuter": "XLA owns CSE",
+    "experimental_trimBoundsForReductionLoops": "masked reductions instead",
+    "experimental_resolveInverseFunctionCall": "jnp.linalg owns inversion",
+    "experimental_useNewMatrixStrategies": "jnp.linalg owns matrix ops",
+    # timing of individual statements inside one fused XLA program is
+    # not observable; jax.profiler traces cover these use cases
+    "timer_syncMpi": "no MPI; device sync via block_until_ready",
+    "timer_automaticTiming": "statements fuse into one XLA program",
+    "timer_automaticCommTiming": "collectives fuse into the program",
+    "timer_automaticBCsTiming": "bc updates fuse into the program",
+    "timer_automaticIOTiming": "host IO is timed by the Timer DSL fns",
+    "benchmark_backend": "bench.py + jax.profiler replace likwid",
+    "comm_batchCommunication": "XLA batches collectives during scheduling",
+    "data_useFieldNamesAsIdx": "fields are named arrays, not index slots",
+    # fragment aggregation: one shard == one fragment on the TPU mesh
+    "domain_fragmentLength_x": "shard == fragment (no aggregation)",
+    "domain_fragmentLength_y": "shard == fragment (no aggregation)",
+    "domain_fragmentLength_z": "shard == fragment (no aggregation)",
+}
+
 
 @dataclass
 class Knowledge:
@@ -209,6 +251,51 @@ class Knowledge:
             ensure(False, "comm_strategyFragment", 6, "only 6 (axis) or 26 supported")
         self.comm_onlyAxisNeighbors = self.comm_strategyFragment == 6
         ensure(self.comm_haloAggregationFactor >= 1, "comm_haloAggregationFactor", 1, "must be >= 1")
+        ensure(
+            self.grid_spacingModel in ("uniform", "linearFct"),
+            "grid_spacingModel", "uniform",
+            "supported spacing models: uniform, linearFct "
+            "(core/grid.linearfct_node_positions)",
+        )
+        # grid consistency: only axis-aligned grids exist on this backend;
+        # grid_isUniform must agree with the spacing model
+        ensure(self.grid_isAxisAligned, "grid_isAxisAligned", True,
+               "only axis-aligned grids are supported")
+        uniform = self.grid_spacingModel == "uniform"
+        ensure(self.grid_isUniform == uniform, "grid_isUniform", uniform,
+               "derived from grid_spacingModel")
+        ensure(not self.grid_halveStagBoundaryVolumes or self.grid_isStaggered,
+               "grid_halveStagBoundaryVolumes", False,
+               "needs a staggered grid")
+        ensure(self.domain_onlyRectangular, "domain_onlyRectangular", True,
+               "only rectangular domains are supported")
+        ensure(self.domain_rect_generate, "domain_rect_generate", True,
+               "domains are always generated (no from-file meshes)")
+        ensure(self.comm_syncGhostData, "comm_syncGhostData", True,
+               "ghost layers are always kept in sync")
+        # `comm_overlapCommunication` is the reference's name for the
+        # interior/boundary split — alias onto the TPU overlap path
+        if self.comm_overlapCommunication:
+            self.tpu_overlap_halo = True
+        # compat flags: accepted so reference .knowledge files load, but
+        # deliberately without effect — log any non-default use
+        defaults = type(self)()
+        for flag, why in ACCEPTED_COMPAT_FLAGS.items():
+            if getattr(self, flag) != getattr(defaults, flag):
+                logger.info(
+                    "Knowledge: %s accepted for .knowledge compat, no "
+                    "effect on TPU (%s)", flag, why)
+        if self.refinement_enabled:
+            # honest rejection instead of a silently-dead flag: 2:1
+            # block-structured mesh refinement (reference
+            # domain/ir/IR_RefinementCase.scala, C2F/F2C interp packing)
+            # is out of scope — uniform rectangular decompositions only
+            raise NotImplementedError(
+                "refinement_enabled: block-structured 2:1 mesh refinement "
+                "is not implemented (uniform rectangular decompositions only)"
+            )
+        ensure(self.refinement_maxFineNeighborsPerDim == 2,
+               "refinement_maxFineNeighborsPerDim", 2, "only 2:1 ratio defined")
         if self.solver_smoother_coloring == "" and self.solver_smoother == "RBGS":
             self.solver_smoother_coloring = "red-black"
         ensure(

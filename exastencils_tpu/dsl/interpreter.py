@@ -422,6 +422,15 @@ class L4Executable:
                     env[f"vf_gridWidth_{ax}"] = grid.grid_width(d)
                     env[f"vf_cellWidth_{ax}"] = grid.grid_width(d)
                 env["vf_cellVolume"] = grid.cell_volume
+                if not grid.is_uniform and (
+                    self._referenced_names(expr) & set(env)
+                ):
+                    raise NotImplementedError(
+                        "stencil coefficients via vf_gridWidth on a "
+                        "non-uniform grid: formulate position-dependent "
+                        "coefficients with the Python API's grid-bound "
+                        "coefficient functions (grid.cell_widths_1d)"
+                    )
                 return self._eval_const(expr, env)
 
             st.add_entry(offs, coef)
@@ -675,6 +684,15 @@ class L4Executable:
             env[f"vf_gridWidth_{ax}"] = grid.grid_width(d)
             env[f"vf_cellWidth_{ax}"] = grid.grid_width(d)
         env["vf_cellVolume"] = grid.cell_volume
+        if not grid.is_uniform and any(
+            self._referenced_names(e.coef) & set(env) for e in sd.entries
+        ):
+            raise NotImplementedError(
+                "stencil coefficients via vf_gridWidth on a non-uniform "
+                "grid would silently use the mean spacing; formulate "
+                "position-dependent coefficients with grid-bound "
+                "coefficient functions (grid.cell_widths_1d)"
+            )
         for e in sd.entries:
             offsets.append(tuple(int(self._eval_const(o)) for o in e.offsets))
             try:
@@ -1097,7 +1115,10 @@ class L4Executable:
             # Dirichlet DOFs and are never assembled)
             return grid.cell_volume
         if base in ("vf_gridWidth", "vf_cellWidth", "vf_stagCVWidth"):
-            return grid.grid_width(d)
+            w = grid.width_b(d)  # scalar (uniform) | per-cell array
+            if hasattr(w, "ndim") and w.ndim:
+                return self._fit_coord(w, d, loop)
+            return w
         if base == "vf_cellVolume":
             return grid.cell_volume
         if base in ("vf_nodePosition", "vf_nodePos"):
@@ -1627,7 +1648,11 @@ class L4Executable:
         if name in ("getMeanTime", "getMeanFromTimer"):
             return self.timers.get_mean_time(str(self.eval_expr(e.args[0], fr, loop)))
         if name == "initFieldsWithZero":
-            self.init_fields_with_zero()
+            # reference: the zero-init loop is only generated under
+            # data_initAllFieldsWithZero (IR_InitFieldsWithZero); state
+            # allocation already zeroes, so this re-zeroing is elidable
+            if self.k.data_initAllFieldsWithZero:
+                self.init_fields_with_zero()
             return None
         if name == "initGlobals":
             self.init_globals()

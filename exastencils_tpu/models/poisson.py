@@ -114,7 +114,7 @@ class PoissonMGSolver:
                 dims = self.shard_dims or tuple(self.mesh.devices.shape)
                 self.backend = ShardedBackend(
                     self.grids, self.mesh, dims,
-                    ghost=max(1, k.comm_haloAggregationFactor),
+                    ghost=max(1, k.comm_ghostWidth, k.comm_haloAggregationFactor),
                     replicate_below=k.tpu_coarse_replicate_threshold)
             else:
                 from exastencils_tpu.parallel.backend import DenseBackend

@@ -54,10 +54,23 @@ class Timer:
 class TimerRegistry:
     """Named timer pool + the DSL timer builtins."""
 
+    # reference timer_type backends (timing/ir/IR_Stopwatch.scala,
+    # config/Knowledge.scala:311) — every one maps onto the host's
+    # monotonic high-resolution clock here (time.perf_counter); the
+    # value is validated so bogus .knowledge settings surface
+    _CLOCKS = ("Chrono", "QPC", "WIN_TIME", "UNIX_TIME", "MPI_TIME",
+               "WINDOWS_RDSC", "RDSC")
+
     def __init__(self, knowledge=None):
         self.timers: Dict[str, Timer] = {}
         self.knowledge = knowledge
         self.sync_device = getattr(knowledge, "timer_syncDevice", True)
+        clock = getattr(knowledge, "timer_type", "Chrono")
+        if clock not in self._CLOCKS:
+            raise ValueError(
+                f"timer_type {clock!r} not a reference clock backend "
+                f"{self._CLOCKS}")
+        self.clock = clock
 
     def _get(self, name: str) -> Timer:
         if name not in self.timers:

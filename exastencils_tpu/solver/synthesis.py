@@ -148,6 +148,8 @@ class GeneratedSolver:
             sol = self._fmg(rhs)
 
         def callback(it, s, cur_res):
+            if not k.solver_printAllResiduals:
+                return  # reference: per-iteration prints are optional
             if print_error:
                 emit(reduced_prec_str(float(self._err(s)), k.testing_maxPrecision, k.testing_zeroThreshold))
             emit(reduced_prec_str(float(cur_res), k.testing_maxPrecision, k.testing_zeroThreshold))
@@ -317,6 +319,31 @@ def generate_solver(
             down_leg_fn=down_leg_fn,
             up_leg_fn=up_leg_fn,
         )
+
+    if k.performance_printEstimation:
+        # reference IR_EvaluatePerformanceEstimates (performance/ir): a
+        # bandwidth-bound time estimate per level's smoother sweep,
+        # printed at solver-construction time
+        import logging
+        import math as _math
+
+        from exastencils_tpu.runtime.performance import (
+            HBM_BANDWIDTH,
+            detect_chip,
+        )
+
+        bw = HBM_BANDWIDTH.get(detect_chip(), HBM_BANDWIDTH["cpu"])
+        itemsize = jnp.dtype(k.real_dtype).itemsize
+        log = logging.getLogger("exastencils_tpu")
+        for lvl in sorted(levels, reverse=True):
+            pts = _math.prod(levels[lvl].shape)
+            passes = 2 if levels[lvl].smooth_n is not None else 3
+            t_ms = passes * pts * itemsize / bw * 1e3
+            log.info(
+                "perf estimate L%d: %d points, smoother sweep ~%.4f ms "
+                "(%d array passes @ %.0f GB/s HBM)",
+                lvl, pts, t_ms, passes, bw / 1e9,
+            )
 
     lv0 = levels[k.minLevel]
     if k.solver_cgs == "Smoother":
