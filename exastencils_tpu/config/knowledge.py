@@ -257,13 +257,19 @@ class Knowledge:
             "supported spacing models: uniform, linearFct "
             "(core/grid.linearfct_node_positions)",
         )
-        # grid consistency: only axis-aligned grids exist on this backend;
-        # grid_isUniform must agree with the spacing model
+        # grid consistency: only axis-aligned grids exist on this backend.
+        # grid_isUniform WINS over the spacing model, exactly like the
+        # reference (config/Knowledge.scala:902: "uniform spacing is
+        # required for uniform grids" — the NavierStokes examples set
+        # linearFct with grid_isUniform=true and expect uniform)
         ensure(self.grid_isAxisAligned, "grid_isAxisAligned", True,
                "only axis-aligned grids are supported")
-        uniform = self.grid_spacingModel == "uniform"
-        ensure(self.grid_isUniform == uniform, "grid_isUniform", uniform,
-               "derived from grid_spacingModel")
+        ensure(not (self.grid_isUniform and self.grid_spacingModel != "uniform"),
+               "grid_spacingModel", "uniform",
+               "uniform spacing is required for uniform grids")
+        if self.grid_spacingModel == "uniform" and not self.grid_isUniform:
+            ensure(False, "grid_isUniform", True,
+                   "grid_isUniform should be true for uniform spacing models")
         ensure(not self.grid_halveStagBoundaryVolumes or self.grid_isStaggered,
                "grid_halveStagBoundaryVolumes", False,
                "needs a staggered grid")

@@ -41,7 +41,7 @@ def test_linearfct_positions_properties():
 
 def test_level_grids_restrict_positions():
     k = Knowledge(dimensionality=2, minLevel=3, maxLevel=5,
-                  grid_spacingModel="linearFct").update()
+                  grid_spacingModel="linearFct", grid_isUniform=False).update()
     grids = level_grids(unit_domain(2), k)
     fine = np.asarray(grids[5].node_pos_1d(0))
     coarse = np.asarray(grids[4].node_pos_1d(0))
@@ -93,7 +93,7 @@ def _stretched_laplacian(nd):
 
 def _solve_error(max_level):
     k = Knowledge(dimensionality=2, minLevel=2, maxLevel=max_level,
-                  grid_spacingModel="linearFct").update()
+                  grid_spacingModel="linearFct", grid_isUniform=False).update()
     dom = unit_domain(2)
     grids = level_grids(dom, k)
     backend = DenseBackend(grids)
@@ -150,7 +150,7 @@ Function Application {
 }
 """
     k = Knowledge(dimensionality=2, minLevel=2, maxLevel=4,
-                  grid_spacingModel="linearFct", tpu_shard_dsl=False).update()
+                  grid_spacingModel="linearFct", grid_isUniform=False, tpu_shard_dsl=False).update()
     ex = L4Executable(parse_l4(src), k, out=lambda s: None)
     with pytest.raises(NotImplementedError):
         ex.run("Application")
