@@ -159,6 +159,13 @@ class _Break(Exception):
     pass
 
 
+class _Exit(Exception):
+    """DSL `exit(code)` — terminates Application (generated std::exit)."""
+
+    def __init__(self, code: int):
+        self.code = code
+
+
 @dataclass
 class _FieldInfo:
     name: str
@@ -1677,6 +1684,11 @@ class L4Executable:
             cur = self.get_field(acc.name, lvl)
             self.set_field(acc.name, lvl, read_field(path, like=cur))
             return None
+        if name.startswith(("writeField_", "readField_", "printField_")):
+            return self._eval_io_backend_call(name, e, fr, loop)
+        if name == "exit":
+            code = int(self.eval_expr(e.args[0], fr, loop)) if e.args else 0
+            raise _Exit(code)
         if name == "printField":
             from exastencils_tpu.runtime.fieldio import print_field
 
@@ -1700,6 +1712,60 @@ class L4Executable:
             args = [self.eval_expr(a, fr, loop) for a in e.args]
             return self.call_function(self.functions[fkey], lvl, args)
         raise ValueError(f"unknown function {name!r}")
+
+    def _eval_io_backend_call(self, name: str, e: N.Call, fr: Frame, loop):
+        """Per-backend field IO builtins (Testing/IOTest surface):
+        writeField_lock/_fpp/_hdf5/_mpiio/_nc/_sion and the matching
+        readField_* (runtime/fieldio backend functions)."""
+        from exastencils_tpu.runtime import fieldio as FIO
+
+        op, backend = name.split("_", 1)
+        path = str(self.eval_expr(e.args[0], fr, loop))
+        # hdf5/nc carry (path, dataset/var, field, ...); others (path, field, ...)
+        if backend in ("hdf5", "nc"):
+            dataset = str(self.eval_expr(e.args[1], fr, loop))
+            acc = e.args[2]
+            extra = (dataset,)
+        else:
+            acc = e.args[1]
+            extra = ()
+        lvl = self._resolve_level(acc.level, fr)
+        arr = self.get_field(acc.name, lvl)
+        if op == "printField":
+            # visualization output of the same backend family: reuse the
+            # write path (xdmf companions are runtime/vtk's job)
+            op = "writeField"
+        if op == "writeField":
+            fn = getattr(FIO, f"write_field_{backend}")
+            if backend == "lock":
+                # (path, field, useGhost, useAscii, condition, separator)
+                binary = (not bool(self.eval_expr(e.args[3], fr, loop))
+                          if len(e.args) > 3 else False)
+                sep = (str(self.eval_expr(e.args[5], fr, loop))
+                       if len(e.args) > 5 else ",")
+                fn(path, arr, binary=binary, sep=sep)
+            elif backend == "fpp":
+                binary = (bool(self.eval_expr(e.args[3], fr, loop))
+                          if len(e.args) > 3 else True)
+                fn(path, arr, binary=binary)
+            else:
+                fn(path, *extra, arr)
+            return None
+        fn = getattr(FIO, f"read_field_{backend}")
+        if backend == "lock":
+            binary = (not bool(self.eval_expr(e.args[3], fr, loop))
+                      if len(e.args) > 3 else False)
+            sep = (str(self.eval_expr(e.args[5], fr, loop))
+                   if len(e.args) > 5 else ",")
+            new = fn(path, arr, binary=binary, sep=sep)
+        elif backend == "fpp":
+            binary = (bool(self.eval_expr(e.args[3], fr, loop))
+                      if len(e.args) > 3 else True)
+            new = fn(path, arr, binary=binary)
+        else:
+            new = fn(path, *extra, arr)
+        self.set_field(acc.name, lvl, new)
+        return None
 
     def _mutate_matrix_var(self, target, fr: Frame, loop, fn):
         """In-place matrix mutation builtins (setElement/setSlice) write
@@ -1936,7 +2002,9 @@ class L4Executable:
         if isinstance(e, N.TensorLit):
             return all(self._expr_stageable(x, level) for _, x in e.entries)
         if isinstance(e, N.Call):
-            if e.name in self._STAGE_BLOCKED_CALLS:
+            if e.name in self._STAGE_BLOCKED_CALLS or e.name == "exit" \
+                    or e.name.startswith(
+                        ("writeField_", "readField_", "printField_")):
                 return False
             if not all(self._expr_stageable(a, level) for a in e.args):
                 return False
@@ -2652,6 +2720,8 @@ class L4Executable:
             fkey = candidates[0]
         try:
             return self.call_function(self.functions[fkey], fkey[1], [])
+        except _Exit as ex:
+            return ex.code  # DSL exit(code): terminate the application
         finally:
             self.flush_out()
 
@@ -2714,6 +2784,20 @@ class L4Executable:
             self._exec_assign(s, fr, loop)
         elif isinstance(s, N.If):
             cond = self.eval_expr(s.cond, fr, loop)
+            if loop is not None and hasattr(cond, "shape") and cond.shape \
+                    and any(isinstance(x, N.Return)
+                            for x in s.then_body + s.else_body):
+                # early exit from inside a data-parallel loop (the
+                # IOTest compareFields pattern: `if (diff > eps) {
+                # print(..); return -1 }`): fire when ANY point matches
+                m = jnp.broadcast_to(cond, loop.shape)
+                if loop.mask is not None:
+                    m = jnp.logical_and(m, loop.mask)
+                if bool(jnp.any(m)):
+                    self.exec_block(s.then_body, fr, loop)
+                elif s.else_body:
+                    self.exec_block(s.else_body, fr, loop)
+                return
             if loop is not None and hasattr(cond, "shape") and cond.shape:
                 # per-point branch inside a data-parallel loop: the
                 # reference emits an if inside the generated loop nest —
@@ -2893,6 +2977,12 @@ class L4Executable:
                                             sub.mask, fr, sub)
             else:
                 v = val.data if is_mat(val) else val
+                if e_nd and not is_mat(val) and hasattr(v, "ndim") \
+                        and v.ndim == cur.ndim - e_nd:
+                    # grid-scalar into a matrix-valued field: broadcast
+                    # over the element dims (reference scalar->matrix
+                    # assignment semantics)
+                    v = v[(...,) + (None,) * e_nd]
                 new = _apply_assign(s.op, cur, v)
                 if sub.mask is not None:
                     m = sub.mask[(...,) + (None,) * e_nd] if e_nd else sub.mask
@@ -3299,7 +3389,7 @@ class L4Executable:
         # dup/ghost boundary regions: the outermost plane in direction rdir
         m = jnp.ones(shape, bool)
         if rdir is not None:
-            for d, dirval in enumerate(rdir):
+            for d, dirval in enumerate(rdir[:nd]):
                 i = lax.broadcasted_iota(jnp.int32, shape, d)
                 if dirval < 0:
                     m = jnp.logical_and(m, i == 0)

@@ -758,6 +758,15 @@ class L4Parser:
         if t.kind == "ident" and t.value in ("tens1", "tens2", "tensN") \
                 and ts.peek().value == "{":
             return self.parse_tensor_literal()
+        if ts.at("op", "["):
+            # `[a; b; c]` column-vector literal (L4 matrix expressions;
+            # IOTest vector suites, SWE flux vectors) — rows split on ';'
+            ts.next()
+            rows = [[self.parse_expr()]]
+            while ts.accept("op", ";"):
+                rows.append([self.parse_expr()])
+            ts.expect("op", "]")
+            return N.MatrixLit(rows)
         if ts.at("op", "{"):
             # matrix `{ {..},{..} }` or column-vector `{a, b}` literal
             ts.next()

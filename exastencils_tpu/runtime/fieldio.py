@@ -61,6 +61,135 @@ def read_field(path: str, like=None, fmt: str = "npy", dtype=None, shape=None):
     return out
 
 
+# --- per-backend IO (reference io/ir/IR_FileAccess_* family; the DSL
+# surfaces them as writeField_lock/_fpp/_hdf5/_mpiio/_nc/_sion etc.,
+# Testing/IOTest/*_CheckEquality_ReadAfterWrite.exa4).  All backends
+# write the canonical (true-extent) field data: ghost layers are virtual
+# on this runtime, so the useGhost/canonicalLayout toggles of the
+# generated C++ collapse to the canonical layout. ---
+
+
+def write_field_lock(path: str, arr, binary: bool = False, sep: str = ",") -> None:
+    """Single shared file, iostream-style ('locking' backend,
+    IR_FileAccess_Locking)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    host = _to_host(arr)
+    if binary:
+        host.tofile(path)
+    else:
+        np.savetxt(path, host.reshape(-1, host.shape[-1] if host.ndim > 1 else 1),
+                   delimiter=sep)
+
+
+def read_field_lock(path: str, like, binary: bool = False, sep: str = ","):
+    import jax.numpy as jnp
+
+    if binary:
+        host = np.fromfile(path, dtype=np.asarray(like).dtype)
+    else:
+        host = np.loadtxt(path, delimiter=sep)
+    return jnp.asarray(host.reshape(np.asarray(like).shape), like.dtype)
+
+
+def write_field_fpp(path: str, arr, binary: bool = True) -> None:
+    """File-per-process backend (IR_FileAccess_FPP): `$blockId` in the
+    path names each block's file — one block on this runtime."""
+    write_field_lock(path.replace("$blockId", "0"), arr, binary=binary)
+
+
+def read_field_fpp(path: str, like, binary: bool = True):
+    return read_field_lock(path.replace("$blockId", "0"), like, binary=binary)
+
+
+def write_field_hdf5(path: str, dataset: str, arr) -> None:
+    """HDF5 backend (IR_FileAccess_HDF5 / IR_Hdf5_API): dataset at an
+    absolute in-file path, groups created as needed."""
+    import h5py
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with h5py.File(path, "a") as f:
+        if dataset in f:
+            del f[dataset]
+        f.create_dataset(dataset, data=_to_host(arr))
+
+
+def read_field_hdf5(path: str, dataset: str, like):
+    import h5py
+    import jax.numpy as jnp
+
+    with h5py.File(path, "r") as f:
+        host = f[dataset][...]
+    return jnp.asarray(host.reshape(np.asarray(like).shape), like.dtype)
+
+
+def write_field_mpiio(path: str, arr) -> None:
+    """MPI-IO backend (IR_FileAccess_MPIIO): a raw shared binary file in
+    canonical order — identical bytes to what a one-rank MPI run emits."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    _to_host(arr).tofile(path)
+
+
+def read_field_mpiio(path: str, like):
+    import jax.numpy as jnp
+
+    host = np.fromfile(path, dtype=np.asarray(like).dtype)
+    return jnp.asarray(host.reshape(np.asarray(like).shape), like.dtype)
+
+
+def write_field_nc(path: str, varname: str, arr) -> None:
+    """NetCDF backend (IR_FileAccess_PnetCDF): classic NetCDF-3 files via
+    scipy.io — the same on-disk format family PnetCDF produces."""
+    from scipy.io import netcdf_file
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    host = _to_host(arr)
+    with netcdf_file(path, "w") as f:
+        dims = []
+        for i, n in enumerate(host.shape):
+            dname = f"{varname}_d{i}"
+            f.createDimension(dname, n)
+            dims.append(dname)
+        v = f.createVariable(varname, host.dtype, tuple(dims))
+        v[...] = host
+
+
+def read_field_nc(path: str, varname: str, like):
+    from scipy.io import netcdf_file
+    import jax.numpy as jnp
+
+    with netcdf_file(path, "r") as f:
+        host = f.variables[varname][...].copy()
+    return jnp.asarray(host.reshape(np.asarray(like).shape), like.dtype)
+
+
+def write_field_sion(path: str, arr) -> None:
+    """SIONlib-backend stand-in (IR_FileAccess_SIONlib): libsion is not
+    available here, so a minimal self-describing single-file container
+    (shape header + raw chunk) provides the same task-local-IO surface.
+    Files are NOT binary-compatible with real SIONlib archives."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    host = _to_host(arr)
+    with open(path, "wb") as f:
+        header = json.dumps(
+            {"shape": list(host.shape), "dtype": host.dtype.name}
+        ).encode()
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(host.tobytes())
+
+
+def read_field_sion(path: str, like):
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        hlen = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(hlen).decode())
+        host = np.frombuffer(
+            f.read(), dtype=np.dtype(meta["dtype"])
+        ).reshape(meta["shape"])
+    return jnp.asarray(host, like.dtype)
+
+
 # --- printField (text; reference IR_PrintField emits index + value rows) ---
 
 
