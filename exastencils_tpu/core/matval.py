@@ -51,6 +51,26 @@ class MatVal:
     def map(self, fn) -> "MatVal":
         return MatVal(fn(self.data))
 
+    # scalar scaling / elementwise sum (matrix-valued stencil
+    # coefficients under stencil algebra, e.g.
+    # `(alpha**2) * Laplace + gradContribution`)
+    def __mul__(self, other):
+        if isinstance(other, MatVal):
+            return NotImplemented
+        return MatVal(self.data * other)
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        if isinstance(other, MatVal):
+            return MatVal(self.data + other.data)
+        return MatVal(self.data + other)
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return MatVal(-self.data)
+
     def __repr__(self):
         return f"MatVal{self.data.shape}"
 

@@ -176,7 +176,7 @@ def match_smoother_stmts(exe, stmts: List[N.Stmt], L: int) -> Optional[SmootherM
         if len(s.body) != 1:
             return None
         s = s.body[0]
-    if not isinstance(s, N.ColorWith):
+    if not isinstance(s, N.ColorWith) or s.more_colors:
         return None
     if not _is_parity2(s.colors, exe.k.dimensionality):
         return None

@@ -15,6 +15,7 @@ control flow is static.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Tuple
 
@@ -63,6 +64,9 @@ def _dtype_info(dt: Optional[str]):
         return (), False
     dt = dt.replace(" ", "")
     if "<" not in dt:
+        m = re.fullmatch(r"Vec(\d+)", dt)  # Vec2/Vec3 shorthands
+        if m:
+            return (int(m.group(1)), 1), False
         return (), dt == "Complex"
     base, params = dt.split("<", 1)
     params = params.rstrip(">")
@@ -233,6 +237,7 @@ class L4Executable:
         self.compiled_hlo: Dict[Tuple, str] = {}
         self._host_rng = np.random.default_rng(0x5EED)  # native() RNG emulation
         self._glibc_rand = _glibc_rand_stream()  # exact std::rand() (seed 1)
+        self._ghost_rules: Dict[Tuple[str, int], dict] = {}  # virtual-ghost bc rules
         self._stage_cache: Dict[Tuple, dict] = {}
         self._gridcall_cache: Dict[int, N.Expr] = {}
         self._stage_blacklist: set = set()
@@ -1182,13 +1187,17 @@ class L4Executable:
         info = self.fields[name]
         bc = info.bc_by_level.get(level)
         loc = info.localization
-        nd = arr.ndim
+        nd = arr.ndim - len(info.elem_shape)  # pad grid dims only
+        padw = ((r, r),) * nd + ((0, 0),) * len(info.elem_shape)
         if r == 0:
             return arr
         if loc == NODE or bc is None or not isinstance(bc, (NeumannBC, DirichletBC)):
-            return jnp.pad(arr, r)
+            xp = jnp.pad(arr, padw)
+            if (name, level) in self._ghost_rules:
+                xp = self._apply_ghost_rules(name, level, xp, arr, r)
+            return xp
         if isinstance(bc, NeumannBC):
-            return jnp.pad(arr, r, mode="edge")
+            return jnp.pad(arr, padw, mode="edge")
         # Dirichlet on cell/face: along the face dim DOFs sit on the
         # boundary (ghost beyond stays zero); along cell dims
         # ghost = 2*g_wall - inner.  Ghost planes are written as
@@ -1199,7 +1208,7 @@ class L4Executable:
 
         face_dim = FACES.index(loc) if loc in FACES else None
         grid = self.grids[level]
-        xp = jnp.pad(arr, r, mode="edge")
+        xp = jnp.pad(arr, padw, mode="edge")
         coords = grid.coord_mesh(loc)
         for d in range(nd):
             if d == face_dim:
@@ -1266,6 +1275,17 @@ class L4Executable:
                     conv = self._apply_stencil_frozen(
                         st, e.rhs.name, f_level, arr, fz[2], fz[3])
                     return self._to_loop_space(conv, e.rhs.offset, loop)
+                # matrix-coefficient stencils applied to vector fields
+                # (OpticalFlow: combinedOp * flow with Vec2 unknowns and
+                # 2x2 coefficient blocks) contract per-point: c @ u
+                info_r = self.fields.get(e.rhs.name)
+                e_nd = len(info_r.elem_shape) if info_r else 0
+                if e_nd or any(is_mat(c) for c in st.coefs):
+                    conv = self._apply_stencil_matrix(
+                        st, e.rhs.name, f_level, arr, e_nd)
+                    val = self._to_loop_space(
+                        conv, e.rhs.offset, loop, elem_ndim=e_nd)
+                    return MatVal(val) if e_nd else val
                 # array-coefficient stencils (stencil fields) put the
                 # result on the COEFFICIENT grid, which may differ from
                 # the operand grid by +-1 per dim on staggered meshes
@@ -1287,6 +1307,31 @@ class L4Executable:
                 return ("__stencil__", _scale_stencil(rhs[1], lhs), rhs[2])
             raise ValueError(f"cannot apply {e.op} to a stencil")
         return _apply_binop(e.op, lhs, rhs)
+
+    def _apply_stencil_matrix(self, st: BoundStencil, name: str, level: int,
+                              arr, e_nd: int):
+        """Convolution with matrix-valued coefficients and/or vector-
+        valued operand DOFs: out[i] = sum_k C_k[i] @ u[i + off_k]
+        (reference IR_StencilConvolution on Matrix<..> datatypes —
+        OpticalFlow's coupled 2x2 system)."""
+        r = st.radius
+        gshape = tuple(self.field_shape(name, level))
+        xp = self._padded_operand(name, level, arr, r)
+        out = None
+        for off, c in zip(st.offsets, st.coefs):
+            sl = tuple(
+                slice(r + o, r + o + n) for o, n in zip(off, gshape)
+            ) + (slice(None),) * e_nd
+            xs = xp[sl]
+            if is_mat(c):
+                term = jnp.einsum("...ij,...jk->...ik", c.data, xs) \
+                    if e_nd else MV.mat_binop("*", c, xs).data
+            elif e_nd and hasattr(c, "ndim") and getattr(c, "ndim", 0):
+                term = c[(...,) + (None,) * e_nd] * xs
+            else:
+                term = c * xs
+            out = term if out is None else out + term
+        return out
 
     def _intergrid_apply(self, ig: IntergridStencil, arr, f_level: int, loop):
         if loop is None:
@@ -2094,6 +2139,8 @@ class L4Executable:
                             N.ColorWith)):
             if isinstance(s, N.ColorWith):
                 expr(s.colors)
+                for c in s.more_colors:
+                    expr(c)
             if isinstance(s, N.RepeatWith):
                 for c in s.conditions:
                     expr(c)
@@ -2168,7 +2215,10 @@ class L4Executable:
         # jit only the fields the run touches (compile-time scales with
         # the input surface); a missed read KeyErrors at trace time and
         # falls back to eager execution — never silently wrong
-        state_keys = tuple(sorted(k2 for k2 in self.state if k2[0] in refs))
+        state_keys = tuple(sorted(
+            k2 for k2 in self.state
+            if k2[0] in refs or k2[0].split("__ghost")[0] in refs
+        ))
         # staleness is part of the trace signature: a run traced while a
         # field was dead-store-elided rematerializes it inside the trace
         # (and vice versa) — replaying across different staleness would
@@ -2212,7 +2262,7 @@ class L4Executable:
         else:
             outs = entry["fn"](state_in, vars_in)
         state_out, var_out, glob_out = outs
-        for k2, v in zip(state_keys, state_out):
+        for k2, v in zip(state_keys + entry.get("ghost_new", ()), state_out):
             self.state[k2] = v
         for k2 in entry["stale_removed"]:
             self._stale.pop(k2, None)
@@ -2237,6 +2287,7 @@ class L4Executable:
             "py_vars": (), "py_globs": (),
             "post_slots": dict(self.slot_index),
             "stale_added": {}, "stale_removed": (),
+            "ghost_new": (),
         }
 
         def fn(state_in, vars_in):
@@ -2257,11 +2308,19 @@ class L4Executable:
             try:
                 self._exec_plan_aware(stmts, fr2, None)
                 extra = set(self.state) - set(state_keys)
+                # ghost planes materialized for the first time inside
+                # this trace become additional outputs (next execution
+                # finds them in state_keys and retraces once)
+                ghost_new = tuple(sorted(
+                    k2 for k2 in extra if "__ghost" in k2[0]))
+                extra -= set(ghost_new)
                 if extra:
                     # a write escaped the static ref scan — refuse the
                     # trace (falls back to eager) rather than lose it
                     raise RuntimeError(f"staged run wrote unscanned fields {extra}")
-                out_state = tuple(self.state[k2] for k2 in state_keys)
+                entry["ghost_new"] = ghost_new
+                out_state = tuple(self.state[k2]
+                                  for k2 in state_keys + ghost_new)
 
                 def is_traced(v):
                     x = v.data if is_mat(v) else v
@@ -2442,9 +2501,14 @@ class L4Executable:
             state_keys = tuple(sorted(
                 k2 for k2 in self.state
                 if k2 in touched or (k2[0] in refs and k2[0] in coef_names)
+                or ("__ghost" in k2[0]
+                    and (k2[0].split("__ghost")[0], k2[1]) in touched)
             ))
         else:
-            state_keys = tuple(sorted(k2 for k2 in self.state if k2[0] in refs))
+            state_keys = tuple(sorted(
+                k2 for k2 in self.state
+                if k2[0] in refs or k2[0].split("__ghost")[0] in refs
+            ))
         return traced_names, const_items, state_keys, lookup
 
     def _stmt_field_levels(self, s, level, _seen=None):
@@ -3057,6 +3121,8 @@ class L4Executable:
         op, var = loop.reduction
         if s.op == "+=":
             arr = self.eval_expr(s.value, fr, loop)
+            if is_mat(arr) and arr.rows == 1 and arr.cols == 1:
+                arr = arr.data[..., 0, 0]  # dot() returns a 1x1 matrix
             red = jnp.sum(jnp.where(loop.mask, arr, 0)) if loop.mask is not None else jnp.sum(arr)
             env[var] = env.get(var, 0.0) + red
             return
@@ -3094,18 +3160,59 @@ class L4Executable:
             # loop nest is lexicographic (Gauss-Seidel semantics), NOT
             # parallel -- execute as a wavefront sweep
             return self._exec_seq_loop(s, fr, lvl, info, shape)
+        if s.region is not None and s.region[0] == "ghost" and info.ghost > 0 \
+                and len(s.body) == 1 and isinstance(s.body[0], N.Assign) \
+                and s.body[0].target.name == s.field.name:
+            # `loop over f only ghost [dir] on boundary { f = expr }` on a
+            # field with declared ghost layers: ghost storage is VIRTUAL
+            # here (stencil operands pad on demand), so the loop becomes
+            # a ghost RULE evaluated whenever the operand pad is built
+            # (reference: the generated loop writes the allocated ghost
+            # layer; ApplyBC_u in Testing/Application/ExaStokes_2D)
+            self._record_ghost_rule(s, fr, lvl)
+            return
         loop = _LoopCtx(lvl, info.localization, shape, reduction=s.reduction)
         loop.mask = self._pad_excl_mask(s.field.name, lvl)  # None when unpadded
         true = self.true_shape(s.field.name, lvl)
         if s.region is None:
-            # default iteration space eliminates 'real' (physical domain)
-            # boundaries along node-localized dims
-            # (IR_LoopOverPointsInOneFragment.scala:73-101 IterationOffsets)
-            bmask = self._node_interior_mask(
-                info.localization, shape, true, info.dup_layers)
-            if bmask is not None:
-                loop.mask = bmask if loop.mask is None else jnp.logical_and(
-                    loop.mask, bmask)
+            if s.starting or s.ending:
+                # `starting [..] ending [..]`: offsets on the default
+                # iteration bounds (IR_LoopOverPoints start/end offsets;
+                # negative values extend into dup/ghost territory —
+                # clamped to the stored extents, virtual ghosts are
+                # zero-filled on read anyway)
+                dims_dup = set()
+                if info.localization == NODE:
+                    dims_dup = set(range(len(shape)))
+                elif info.localization in FACES:
+                    dims_dup = {FACES.index(info.localization)}
+                if info.dup_layers is not None:
+                    dims_dup = {
+                        d for d in dims_dup
+                        if d < len(info.dup_layers) and info.dup_layers[d] > 0
+                    }
+                m = None
+                for d in range(len(shape)):
+                    lo = 1 if d in dims_dup else 0
+                    hi = true[d] - 2 if d in dims_dup else true[d] - 1
+                    if s.starting and d < len(s.starting):
+                        lo += int(s.starting[d])
+                    if s.ending and d < len(s.ending):
+                        hi -= int(s.ending[d])
+                    i = lax.broadcasted_iota(jnp.int32, shape, d)
+                    mm = jnp.logical_and(i >= lo, i <= hi)
+                    m = mm if m is None else jnp.logical_and(m, mm)
+                loop.mask = m if loop.mask is None else jnp.logical_and(
+                    loop.mask, m)
+            else:
+                # default iteration space eliminates 'real' (physical
+                # domain) boundaries along node-localized dims
+                # (IR_LoopOverPointsInOneFragment.scala:73-101)
+                bmask = self._node_interior_mask(
+                    info.localization, shape, true, info.dup_layers)
+                if bmask is not None:
+                    loop.mask = bmask if loop.mask is None else jnp.logical_and(
+                        loop.mask, bmask)
         if color_ctx is not None:
             loop.mask = color_ctx if loop.mask is None else jnp.logical_and(
                 loop.mask, color_ctx)
@@ -3151,6 +3258,98 @@ class L4Executable:
         return (isinstance(e, N.Call) and e.name == "native" and e.args
                 and isinstance(e.args[0], N.Str)
                 and "std::rand()" in str(e.args[0].value))
+
+    def _ghost_key(self, name: str, d: int, side: int) -> str:
+        return f"{name}__ghost{d}{'p' if side > 0 else 'm'}"
+
+    def _record_ghost_rule(self, s: N.LoopOverField, fr: Frame, lvl: int):
+        """Execute a ghost-region bc loop by MATERIALIZING the ghost
+        plane as a state entry — exactly the reference's semantics where
+        the generated loop writes the allocated ghost storage: the plane
+        keeps the value from this `apply bc` (reads inside subsequent
+        smoother sweeps see the then-stale ghost, like the C++ array
+        does) until the next bc application overwrites it.  Plane values
+        live in self.state so staged-trace replays carry them."""
+        name = s.field.name
+        a = s.body[0]
+        rdir = tuple(s.region[1] or ())
+        d = next((i for i, v in enumerate(rdir) if v != 0), None)
+        if d is None:
+            return
+        side = 1 if rdir[d] > 0 else -1
+        arr = self.get_field(name, lvl)
+        true = self.true_shape(name, lvl)
+        nd = len(true)
+        edge = true[d] - 1 if side > 0 else 0
+
+        def plane_of(off_d):
+            # ghost plane index = edge + side; expr offsets are relative
+            # to the ghost plane: f@[.., o, ..] -> stored plane edge+side+o
+            idx = edge + side + off_d
+            if not 0 <= idx < true[d]:
+                raise NotImplementedError("ghost rule reads beyond storage")
+            sl = tuple(
+                slice(None) if i != d else slice(idx, idx + 1)
+                for i in range(nd)
+            )
+            return arr[sl]
+
+        def ev(e):
+            if isinstance(e, N.Num):
+                return float(e.value)
+            if isinstance(e, N.UnOp) and e.op == "-":
+                return -ev(e.operand)
+            if isinstance(e, N.BinOp):
+                return _apply_binop(e.op, ev(e.lhs), ev(e.rhs))
+            if isinstance(e, N.Access):
+                if e.name == name:
+                    off = e.offset or (0,) * nd
+                    if any(o != 0 for i, o in enumerate(off) if i != d):
+                        raise NotImplementedError(
+                            "ghost rule with off-axis self offset")
+                    return plane_of(off[d])
+                if e.name in fr.vars:
+                    return fr.vars[e.name]
+                if e.name in self.globals:
+                    return self.globals[e.name]
+                if e.name == "PI":
+                    return math.pi
+            raise NotImplementedError(
+                f"unsupported ghost-rule expression {e}")
+
+        plane_shape = tuple(1 if i == d else true[i] for i in range(nd))
+        val = jnp.broadcast_to(
+            jnp.asarray(ev(a.value), self._field_dtype(self.fields[name])),
+            plane_shape,
+        )
+        self.state[(self._ghost_key(name, d, side), lvl)] = val
+        self._ghost_rules.setdefault((name, lvl), set()).add((d, side))
+
+    def _apply_ghost_rules(self, name: str, level: int, xp, arr, r: int):
+        """Write the materialized ghost planes into the zero pad ring."""
+        dirs = self._ghost_rules.get((name, level))
+        if not dirs:
+            return xp
+        true = self.true_shape(name, level)
+        nd = len(true)
+        for (d, side) in sorted(dirs):
+            key = (self._ghost_key(name, d, side), level)
+            if key not in self.state:
+                continue
+            plane = (r + true[d]) if side > 0 else (r - 1)
+            out_sl = tuple(
+                slice(None) if i != d else slice(plane, plane + 1)
+                for i in range(nd)
+            )
+            pad_sl = tuple(
+                slice(r, r + true[i]) if i != d else slice(None)
+                for i in range(nd)
+            )
+            cur = xp[out_sl]
+            xp = xp.at[out_sl].set(
+                cur.at[pad_sl].set(self.state[key].astype(xp.dtype))
+            )
+        return xp
 
     def _exec_seq_loop(self, s: N.LoopOverField, fr: Frame, lvl: int, info, shape):
         """`loop over f sequentially { f (+)= expr }`: lexicographic
@@ -3406,13 +3605,30 @@ class L4Executable:
         return m
 
     def _exec_color(self, s: N.ColorWith, fr: Frame):
-        """`color with { expr % n, stmts }`: run stmts once per color with
-        the parity mask applied to contained field loops."""
-        if not (isinstance(s.colors, N.BinOp) and s.colors.op == "%"):
-            raise ValueError("color expression must be `expr % n`")
-        n = int(self._eval_const(s.colors.rhs))
-        for c in range(n):
-            cond = N.BinOp("==", N.BinOp("%", s.colors.lhs, N.Num(n, True)), N.Num(c, True))
+        """`color with { expr % n, [expr % m, ...] stmts }`: run stmts
+        once per color; multiple color expressions iterate their cross
+        product (reference L4_ColorLoops color lists, e.g. the Stokes
+        Vanka smoother's `i0 % 3, i1 % 3` 9-coloring) with the first
+        expression as the outer loop."""
+        # the reference iterates the cross product with the FIRST color
+        # expression varying fastest ("normally, the first coloring
+        # expression given is the innermost", L4_ColorLoops.toRepeatLoops
+        # builds the DNF from the reversed expression list) — so build
+        # conditions last-expression-outermost
+        exprs = [s.colors] + list(s.more_colors)
+        conds = [None]
+        for ce in reversed(exprs):
+            if not (isinstance(ce, N.BinOp) and ce.op == "%"):
+                raise ValueError("color expression must be `expr % n`")
+            n = int(self._eval_const(ce.rhs))
+            new = []
+            for prev in conds:
+                for c in range(n):
+                    eq = N.BinOp("==", N.BinOp("%", ce.lhs, N.Num(n, True)),
+                                 N.Num(c, True))
+                    new.append(eq if prev is None else N.BinOp("&&", prev, eq))
+            conds = new
+        for cond in conds:
             self._exec_masked_block(cond, s.body, fr)
 
     def _exec_masked_block(self, cond_expr: N.Expr, body: List[N.Stmt], fr: Frame):
@@ -3489,9 +3705,12 @@ class L4Executable:
 
     def _valid_dof_mask(self, name: str, lvl: int, off, shape):
         """False where the DOF (field, offset) sits on a physical-boundary
-        Dirichlet plane (reference IR_IsValidComputationPoint)."""
+        plane whose value is bc-determined (reference
+        IR_IsValidComputationPoint).  Function BCs count: their dup-plane
+        writes pin those DOFs exactly like Dirichlet values, so local
+        solves must give them identity rows (ExaStokes ApplyBC_u)."""
         info = self.fields[name]
-        if not isinstance(info.bc_by_level.get(lvl), DirichletBC):
+        if not isinstance(info.bc_by_level.get(lvl), (DirichletBC, _FunctionBC)):
             return None
         loc = info.localization
         if loc == CELL:

@@ -345,7 +345,8 @@ class FieldLiveness:
             return self._first_access(s.body, level, key)
         if isinstance(s, (N.ColorWith, N.RepeatWith)):
             # masked execution: writes are partial (never a kill)
-            conds = [s.colors] if isinstance(s, N.ColorWith) else s.conditions
+            conds = ([s.colors] + list(s.more_colors)
+                     if isinstance(s, N.ColorWith) else s.conditions)
             if any(self._expr_reads(c, level, key) for c in conds):
                 return READ
             return READ if self._block_reads(s.body, level, key) else NONE

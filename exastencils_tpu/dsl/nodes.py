@@ -235,6 +235,10 @@ class LoopOverFragments(Stmt):
 class ColorWith(Stmt):
     colors: Expr  # expression of the form f(i0..) % n
     body: List[Stmt]
+    # additional `expr % n` colorings (cross-product semantics, e.g.
+    # `color with { i0 % 3, i1 % 3, ... }` = 9-coloring; reference
+    # L4_ColorLoops with a color list)
+    more_colors: List[Expr] = dc_field(default_factory=list)
 
 
 @dataclass
@@ -420,6 +424,43 @@ class FunctionDecl:
 @dataclass
 class GlobalsDecl:
     decls: List[VarDecl]
+
+
+def substitute(node, mapping):
+    """Template-parameter substitution over the AST (FunctionTemplate /
+    Instantiate generics, L4_Parser.scala:218-221): every Access whose
+    name is a template parameter is replaced by the instantiation
+    argument; Access modifiers merge (the argument's level/slot win,
+    the use site's offset/component stay)."""
+    import dataclasses as _dc
+
+    def sub(x):
+        if isinstance(x, Access) and x.name in mapping:
+            r = mapping[x.name]
+            if isinstance(r, Access):
+                return Access(
+                    r.name,
+                    level=r.level if r.level is not None else x.level,
+                    offset=x.offset if x.offset is not None else r.offset,
+                    slot=r.slot if r.slot is not None else x.slot,
+                    component=x.component or r.component,
+                    sten_entry=x.sten_entry or r.sten_entry,
+                )
+            return sub_generic(r)  # literal / expression argument
+        return sub_generic(x)
+
+    def sub_generic(x):
+        if _dc.is_dataclass(x) and not isinstance(x, type):
+            return type(x)(**{
+                f.name: sub(getattr(x, f.name)) for f in _dc.fields(x)
+            })
+        if isinstance(x, list):
+            return [sub(v) for v in x]
+        if isinstance(x, tuple):
+            return tuple(sub(v) for v in x)
+        return x
+
+    return sub(node)
 
 
 @dataclass

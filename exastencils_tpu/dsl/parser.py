@@ -20,6 +20,9 @@ class L4Parser:
     def __init__(self, src: str, filename: str = "<l4>"):
         self.ts = TokenStream(tokenize(src, filename), filename)
         self.filename = filename
+        # FunctionTemplate declarations, instantiated by `Instantiate`
+        # (L4_Parser.scala:218-221 generics)
+        self._templates = {}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -64,6 +67,10 @@ class L4Parser:
                 prog.globals_.extend(self.parse_globals())
             elif ts.at("keyword", "Knowledge"):
                 prog.inline_knowledge.update(self.parse_inline_knowledge())
+            elif ts.at_value("FunctionTemplate"):
+                self.parse_function_template()
+            elif ts.at_value("Instantiate"):
+                prog.functions.append(self.parse_instantiate())
             elif ts.at_value("Equation"):
                 # L4 `Equation id@lvl { lhs == rhs }` declarations (kept
                 # by the L3->L4 progression for solve-locally/debug use;
@@ -361,6 +368,58 @@ class L4Parser:
         body = self.parse_block()
         return N.FunctionDecl(name, levels, params, rettype, body, noinline)
 
+    def parse_function_template(self):
+        """`FunctionTemplate id < tp0, tp1, ... > ( params ) : ret {...}`
+        (L4_Parser.scala:218: function templates / generics)."""
+        ts = self.ts
+        ts.next()  # FunctionTemplate
+        name = ts.expect("ident").value
+        ts.expect("op", "<")
+        tparams = [ts.expect("ident").value]
+        while ts.accept("op", ","):
+            tparams.append(ts.expect("ident").value)
+        ts.expect("op", ">")
+        params: List[Tuple[str, str]] = []
+        if ts.accept("op", "("):
+            while not ts.at("op", ")"):
+                pname = ts.expect("ident").value
+                ts.expect("op", ":")
+                params.append((pname, self.parse_datatype()))
+                if not ts.accept("op", ","):
+                    break
+            ts.expect("op", ")")
+        rettype = "Unit"
+        if ts.accept("op", ":"):
+            rettype = self.parse_datatype()
+        body = self.parse_block()
+        self._templates[name] = (tparams, params, rettype, body)
+
+    def parse_instantiate(self) -> N.FunctionDecl:
+        """`Instantiate tmpl < args > as id@lvls` — expands the template
+        body with the argument expressions substituted for the template
+        parameters (L4_Parser.scala:221)."""
+        ts = self.ts
+        ts.next()  # Instantiate
+        tname = ts.expect("ident").value
+        if tname not in self._templates:
+            raise self.err(f"unknown function template {tname!r}")
+        ts.expect("op", "<")
+        args = [self.parse_expr(stop_gt=True)]
+        while ts.accept("op", ","):
+            args.append(self.parse_expr(stop_gt=True))
+        ts.expect("op", ">")
+        kw = ts.next()
+        if kw.value != "as":
+            raise self.err("expected 'as' in Instantiate")
+        name = ts.expect("ident").value
+        levels = self.maybe_level()
+        tparams, params, rettype, body = self._templates[tname]
+        if len(args) != len(tparams):
+            raise self.err(
+                f"template {tname!r} takes {len(tparams)} args, got {len(args)}")
+        inst = N.substitute(list(body), dict(zip(tparams, args)))
+        return N.FunctionDecl(name, levels, list(params), rettype, inst, False)
+
     def parse_globals(self) -> List[N.VarDecl]:
         ts = self.ts
         ts.expect("keyword", "Globals")
@@ -451,11 +510,27 @@ class L4Parser:
             ts.expect("op", "{")
             colors = self.parse_expr()
             ts.expect("op", ",")
+            more = []
+            # additional `expr % n,` colorings (cross-product, e.g.
+            # `color with { i0 % 3, i1 % 3, ... }`): an expression
+            # followed by a comma is a color, not a statement
+            while True:
+                mark = ts.i
+                try:
+                    c = self.parse_expr()
+                except SyntaxError:
+                    ts.i = mark
+                    break
+                if ts.accept("op", ","):
+                    more.append(c)
+                else:
+                    ts.i = mark
+                    break
             body = []
             while not ts.at("op", "}"):
                 body.append(self.parse_statement())
             ts.expect("op", "}")
-            return N.ColorWith(colors, body)
+            return N.ColorWith(colors, body, more_colors=more)
         if t.value == "solve":
             return self.parse_solve_locally()
         if t.value == "solveMatSys":
@@ -786,6 +861,13 @@ class L4Parser:
                     if not ts.accept("op", ","):
                         break
             ts.expect("op", "}")
+            if ts.accept("ident", "T"):
+                # `{a, b}T` — transposed literal (reference L4 matrix
+                # expressions).  A flat `{a, b}` parses here as a column
+                # vector already, which IS the reference's row-literal-
+                # transposed; nested literals transpose for real.
+                if any(len(r) != 1 for r in rows):
+                    rows = [list(col) for col in zip(*rows)]
             return N.MatrixLit(rows)
         if t.kind in ("ident", "keyword"):
             if t.value in ("true", "false"):

@@ -22,6 +22,8 @@ import re
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only (ci.sh quick gate skips)
+
 import jax
 
 from exastencils_tpu.config import Knowledge

@@ -1,3 +1,6 @@
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier only
 """ComplexNumbers suite remainder (BasicFunc is covered by
 test_matrix_complex_golden):
 

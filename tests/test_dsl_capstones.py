@@ -9,6 +9,8 @@ discretization-error floors."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only (ci.sh quick gate skips)
+
 from exastencils_tpu.config import Knowledge, parse_config_file
 from exastencils_tpu.dsl.interpreter import L4Executable
 from exastencils_tpu.dsl.parser import parse_l4

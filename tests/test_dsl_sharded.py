@@ -16,6 +16,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only (ci.sh quick gate skips)
+
 import jax
 from jax.sharding import Mesh
 

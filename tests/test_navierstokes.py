@@ -14,6 +14,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only (ci.sh quick gate skips)
+
 from exastencils_tpu.config import Knowledge, parse_config_file
 from exastencils_tpu.dsl import nodes as N
 from exastencils_tpu.dsl.driver import build_program

@@ -15,9 +15,9 @@ from exastencils_tpu.models.poisson import PoissonMGSolver
 from exastencils_tpu.parallel.mesh import make_domain_mesh
 from exastencils_tpu.parallel.topology import fragments_to_dense
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     len(jax.devices()) < 4, reason="needs >= 4 virtual devices"
-)
+)]
 
 P = (2, 2)
 

@@ -19,9 +19,9 @@ from exastencils_tpu.parallel.topology import (
     fragments_to_dense,
 )
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     len(jax.devices()) < 4, reason="needs >= 4 virtual devices"
-)
+)]
 
 
 def make_topo(P=(2, 2), ghost=1):

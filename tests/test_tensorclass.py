@@ -19,6 +19,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only (ci.sh quick gate skips)
+
 from exastencils_tpu.config import Knowledge
 from exastencils_tpu.config.parser import parse_config_file
 from exastencils_tpu.dsl.interpreter import L4Executable
