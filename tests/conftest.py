@@ -31,3 +31,11 @@ def reference_root():
     if not os.path.isdir(REFERENCE):
         pytest.skip("reference tree not mounted")
     return REFERENCE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running suite — the quick gate (ci.sh) deselects these; "
+        "the full tier (ci.sh full / nightly) runs everything",
+    )

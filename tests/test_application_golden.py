@@ -16,6 +16,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # capstone runs: full-tier only
+
 from exastencils_tpu.config import Knowledge
 from exastencils_tpu.config.parser import parse_config_file
 from exastencils_tpu.dsl.interpreter import L4Executable

@@ -56,6 +56,7 @@ def test_golden_exact(name, reference_root):
     assert got == golden
 
 
+@pytest.mark.slow  # ~7 min: full-tier only
 def test_golden_fromL1_tolerance(reference_root):
     """The ~0.4%/cycle drift (see module docstring) compounds
     multiplicatively over the residual sequence: line i is allowed

@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only (ci.sh quick gate skips)
+
 from exastencils_tpu.config import Knowledge
 from exastencils_tpu.dsl.interpreter import L4Executable
 from exastencils_tpu.dsl.parser import parse_l4

@@ -10,6 +10,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only (ci.sh quick gate skips)
+
 from exastencils_tpu.config import Knowledge
 from exastencils_tpu.models.poisson import PoissonMGSolver
 
