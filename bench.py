@@ -57,11 +57,14 @@ def bench_dsl(size_level: int, n_timed: int):
     readback()
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        ex.call_function(cyc, finest, [])
-    readback()
-    elapsed = time.perf_counter() - t0
+    elapsed = None
+    for _ in range(2):  # best-of-2: tunnel latency spikes are transient
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            ex.call_function(cyc, finest, [])
+        readback()
+        dt = time.perf_counter() - t0
+        elapsed = dt if elapsed is None else min(elapsed, dt)
 
     n = (1 << size_level) + 1
     glups = float(n) ** 3 * n_timed / elapsed / 1e9
@@ -98,27 +101,32 @@ def main():
     solver = PoissonMGSolver(k)
     sol, rhs = solver.init_state()
 
-    cycle = solver._cycle
+    cycle = solver._cycle  # donates the iterate — copy before reuse
+    r0 = float(solver._res_norm(sol, rhs))
     # warmup / compile
     t0 = time.perf_counter()
-    sol1 = cycle(sol, rhs)
+    sol1 = cycle(jnp.copy(sol), rhs)
     jax.block_until_ready(sol1)
     compile_s = time.perf_counter() - t0
 
     # sanity: residual must drop
-    r0 = float(solver._res_norm(sol, rhs))
     r1 = float(solver._res_norm(sol1, rhs))
     assert r1 < 0.1 * r0, f"V-cycle not converging: {r0} -> {r1}"
 
     # timed loop (sequential dependency keeps the device busy end-to-end);
     # anchored on a value transfer — block_until_ready can return early
-    # through the axon tunnel
-    s = sol
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        s = cycle(s, rhs)
-    float(jnp.sum(jnp.abs(s)))
-    elapsed = time.perf_counter() - t0
+    # through the axon tunnel.  Best-of-2: tunnel latency spikes are
+    # transient and must not masquerade as kernel time.
+    elapsed = None
+    for _ in range(2):
+        s = jnp.copy(sol)  # fresh iterate: cycle donates its input
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            s = cycle(s, rhs)
+        float(jnp.sum(jnp.abs(s)))
+        dt = time.perf_counter() - t0
+        elapsed = dt if elapsed is None else min(elapsed, dt)
 
     n = (1 << size_level) + 1
     fine_dofs = float(n) ** 3

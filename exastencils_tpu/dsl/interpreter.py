@@ -216,6 +216,8 @@ class L4Executable:
         for key, val in program.inline_knowledge.items():
             knowledge.set(key, val)
         knowledge.update()
+        # direction-alias offsets (east/west/...) -> concrete tuples
+        N.resolve_direction_aliases(program, knowledge.dimensionality)
         self.out = out
         self.timers = timers or TimerRegistry(knowledge)
         self.dtype = knowledge.real_dtype
@@ -958,9 +960,23 @@ class L4Executable:
             raise ValueError(f"ambiguous level {levels} in access")
         return levels[0]
 
+    def _is_alias(self, v) -> bool:
+        return isinstance(v, tuple) and len(v) == 2 and v[0] == "__alias__"
+
+    def _eval_alias(self, v, e: N.Access, fr: Frame, loop):
+        node = v[1]
+        if e.offset and any(e.offset):
+            node = N.shift_offsets(node, tuple(e.offset))
+        val = self.eval_expr(node, fr, loop)
+        if e.component:
+            val = self._apply_component(val, e.component, fr, loop)
+        return val
+
     def _eval_access(self, e: N.Access, fr: Frame, loop):
         name = e.name
         if name in fr.vars:
+            if self._is_alias(fr.vars[name]):
+                return self._eval_alias(fr.vars[name], e, fr, loop)
             return self._maybe_component(fr.vars[name], e, fr, loop)
         if name == "PI":
             return math.pi
@@ -1008,8 +1024,29 @@ class L4Executable:
                 # stencil offset, not a component access
                 offset = (int(self._eval_const(comp[0][1])),)
                 comp = None
-            val = self._to_loop_space(arr, offset, loop,
-                                      elem_ndim=len(info.elem_shape))
+            e_nd = len(info.elem_shape)
+            bc_lvl = info.bc_by_level.get(lvl)
+            bc_ghosts = (
+                (name, lvl) in self._ghost_rules
+                or (bc_lvl is not None and info.localization != NODE
+                    and isinstance(bc_lvl, (DirichletBC, NeumannBC)))
+            )
+            if offset and any(offset) and bc_ghosts \
+                    and loop is not None \
+                    and tuple(arr.shape[:arr.ndim - e_nd]) == tuple(loop.shape):
+                # offset read on a field with materialized bc ghost
+                # planes: resolve through the bc-aware pad so boundary
+                # cells see the wall/lid values, exactly like the
+                # generated code reading its ghost storage
+                r = max(abs(int(o)) for o in offset)
+                xp = self._padded_operand(name, lvl, arr, r)
+                sl = tuple(
+                    slice(r + int(o), r + int(o) + n)
+                    for o, n in zip(offset, loop.shape)
+                ) + (slice(None),) * e_nd
+                val = xp[sl]
+            else:
+                val = self._to_loop_space(arr, offset, loop, elem_ndim=e_nd)
             if info.elem_shape:
                 val = MatVal(val)
             if comp:
@@ -1019,6 +1056,8 @@ class L4Executable:
             lvl = self._resolve_level(e.level, fr)
             return ("__stencil__", self._stencil_at(name, lvl), lvl)
         if name in self.globals:
+            if self._is_alias(self.globals[name]):
+                return self._eval_alias(self.globals[name], e, fr, loop)
             return self._maybe_component(self.globals[name], e, fr, loop)
         raise ValueError(f"unknown identifier {name!r}")
 
@@ -1266,6 +1305,25 @@ class L4Executable:
                     raise ValueError(
                         "stencil-stencil products need bound offset stencils"
                     )
+                if (hasattr(rhs, "shape") and getattr(rhs, "shape", ()) != ()) \
+                        or is_mat(rhs):
+                    # stencil applied to a general EXPRESSION (an Expr
+                    # alias like SWE's `Centering * q`): the convolution
+                    # re-evaluates the operand expression at each window
+                    # offset, so every contained field keeps its own
+                    # bc-aware ghost semantics (reference resolves the
+                    # inlined expression the same way)
+                    if not isinstance(st, BoundStencil):
+                        raise ValueError(
+                            "inter-grid stencil needs a field operand")
+                    total = None
+                    for off, c in zip(st.offsets, st.coefs):
+                        tv = self.eval_expr(
+                            N.shift_offsets(e.rhs, tuple(off)), fr, loop)
+                        td = tv.data if is_mat(tv) else tv
+                        term = (c.data if is_mat(c) else c) * td
+                        total = term if total is None else total + term
+                    return MatVal(total) if is_mat(rhs) else total
                 return ("__stencil__", _scale_stencil(st, rhs), st_level)
             f_level = self._resolve_level(e.rhs.level, fr)
             arr = self.get_field(e.rhs.name, f_level, e.rhs.slot)
@@ -1734,6 +1792,21 @@ class L4Executable:
         if name == "exit":
             code = int(self.eval_expr(e.args[0], fr, loop)) if e.args else 0
             raise _Exit(code)
+        if name == "buildString":
+            # buildString(target, parts...) — concatenate into the string
+            # variable (reference util/ir string building; SWE filenames)
+            target = e.args[0]
+            parts = []
+            for a in e.args[1:]:
+                v = self.eval_expr(a, fr, loop)
+                if isinstance(v, float) and v == int(v):
+                    v = int(v)
+                parts.append(str(v))
+            env = fr.vars if target.name in fr.vars else self.globals
+            env[target.name] = "".join(parts)
+            return None
+        if name == "levels":
+            return self._resolve_level(e.level, fr)
         if name == "printField":
             from exastencils_tpu.runtime.fieldio import print_field
 
@@ -2199,7 +2272,12 @@ class L4Executable:
             return fr.vars[n] if n in fr.vars else self.globals.get(n)
 
         def traceable(v):
+            # ints are traced too (bool excluded: flags steer structural
+            # control flow): a python-int iteration counter as a const
+            # would re-key and RETRACE the run every step (SWE's `it`)
             return (isinstance(v, (float, np.floating))
+                    or (isinstance(v, (int, np.integer))
+                        and not isinstance(v, bool))
                     or hasattr(v, "shape") or is_mat(v))
 
         var_names = sorted(
@@ -2360,7 +2438,13 @@ class L4Executable:
                 (self.state, self.globals, self.slot_index, self._in_trace,
                  self._stale) = prev
 
-        entry["fn"] = jax.jit(fn)
+        # donate the state tuple: without donation XLA must COPY every
+        # pass-through state array into a fresh output buffer (a full
+        # field read+write per untouched field — measured ~5 ms/cycle at
+        # 512^3), and the Pallas kernels' in-place aliases force a copy
+        # of their operand too.  The interpreter immediately replaces
+        # self.state with the outputs, so the donated inputs are dead.
+        entry["fn"] = jax.jit(fn, donate_argnums=(0,))
         return entry
 
     # ------------------------------------------------------------------
@@ -2969,6 +3053,11 @@ class L4Executable:
         collapse into scalar declarations, Int casts, Complex promotes
         (reference L4 variable declarations + IR_MatrixExpression
         shape inference)."""
+        if s.datatype == "__Expr__":
+            # `Expr name = <expression>`: a lazy alias — uses re-evaluate
+            # in context; `name@[off]` shifts the contained accesses
+            # (reference L4 expression declarations, inlined not stored)
+            return ("__alias__", s.init)
         try:
             val = self.eval_expr(s.init, fr, loop) if s.init is not None else None
         except ValueError as err:
@@ -3041,6 +3130,8 @@ class L4Executable:
                                             sub.mask, fr, sub)
             else:
                 v = val.data if is_mat(val) else val
+                if not e_nd and is_mat(val) and val.rows == 1 and val.cols == 1:
+                    v = val.data[..., 0, 0]  # 1x1 (dot result) -> scalar
                 if e_nd and not is_mat(val) and hasattr(v, "ndim") \
                         and v.ndim == cur.ndim - e_nd:
                     # grid-scalar into a matrix-valued field: broadcast

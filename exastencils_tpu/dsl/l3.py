@@ -55,6 +55,7 @@ class L3FieldDecl:
     init: Optional[N.Expr] = None
     bc: Optional[N.Expr] = None  # expr | Call('Neumann') | None
     from_field: Optional[str] = None
+    num_slots: int = 1  # `Field h ... 2 times` (slotted, L2/L3 grammar)
 
 
 @dataclass
@@ -172,6 +173,9 @@ class L3Parser(L4Parser):
             decl.localization = ts.next().value
         if ts.accept("keyword", "of"):
             decl.domain = ts.next().value
+        if ts.cur.kind == "int" and ts.peek().value == "times":
+            decl.num_slots = int(ts.next().value)
+            ts.next()  # times
         if ts.accept("op", "="):
             decl.init = self.parse_expr()
         return decl
@@ -520,7 +524,7 @@ def lower_l3(l3: L3Program, knowledge, user_l4: Optional[N.Program] = None) -> N
         if name in resolved:
             return resolved[name]
         info = {"loc": None, "dtype": "Real", "domain": None,
-                "level_decls": [], "bcs": [], "inits": []}
+                "level_decls": [], "bcs": [], "inits": [], "slots": 1}
         resolved[name] = info
         for d in fields.get(name, []):
             if d.from_field is not None:
@@ -532,6 +536,7 @@ def lower_l3(l3: L3Program, knowledge, user_l4: Optional[N.Program] = None) -> N
                 info["level_decls"].append(d.levels)
             elif d.localization is not None:
                 info["loc"] = d.localization
+                info["slots"] = max(info["slots"], d.num_slots)
                 info["dtype"] = d.dtype
                 info["domain"] = d.domain or info["domain"]
                 info["level_decls"].append(d.levels)
@@ -624,9 +629,11 @@ def lower_l3(l3: L3Program, knowledge, user_l4: Optional[N.Program] = None) -> N
         layout = _loc_layout(prog, info["loc"])
         dom = info["domain"] or "global"
         for lvls in info["level_decls"] or [None]:
-            prog.fields.append(N.FieldDecl(name, dom, layout, None, lvls))
+            prog.fields.append(
+                N.FieldDecl(name, dom, layout, None, lvls, info["slots"]))
         for lvls, bc in info["bcs"]:
-            prog.fields.append(N.FieldDecl(name, dom, layout, bc, lvls))
+            prog.fields.append(
+                N.FieldDecl(name, dom, layout, bc, lvls, info["slots"]))
     # --- merge generated solver programs ---
     for gp in gen_programs:
         prog.fields.extend(gp.fields)

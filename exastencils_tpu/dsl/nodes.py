@@ -426,6 +426,67 @@ class GlobalsDecl:
     decls: List[VarDecl]
 
 
+DIRECTION_OFFSETS = {
+    "center": (0, 0, 0), "east": (1, 0, 0), "west": (-1, 0, 0),
+    "north": (0, 1, 0), "south": (0, -1, 0),
+    "top": (0, 0, 1), "bottom": (0, 0, -1),
+}
+
+
+def resolve_direction_aliases(node, ndim: int):
+    """Replace direction-alias offsets ('east', ...) with concrete
+    dimensionality-sized tuples, in place (reference
+    util/l4/L4_OffsetAlias.toConstIndex).  Idempotent."""
+    import dataclasses as _dc
+
+    def conv(name):
+        return tuple(DIRECTION_OFFSETS[name][:ndim])
+
+    def walk(x):
+        if isinstance(x, Access) and isinstance(x.offset, str):
+            x.offset = conv(x.offset)
+        if isinstance(x, StencilOffsetEntry) and isinstance(x.offsets, str):
+            x.offsets = [Num(o, is_int=True) for o in conv(x.offsets)]
+        if _dc.is_dataclass(x) and not isinstance(x, type):
+            for f in _dc.fields(x):
+                walk(getattr(x, f.name))
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+
+    walk(node)
+    return node
+
+
+def shift_offsets(node, off):
+    """Rebuild an expression with `off` added to every Access offset —
+    the evaluation rule for `exprAlias@[off]` (an L4 Expr alias accessed
+    with an offset shifts all its contained accesses)."""
+    import dataclasses as _dc
+
+    def add(a):
+        if a is None:
+            return tuple(off)
+        return tuple(x + o for x, o in zip(tuple(a) + (0,) * len(off), off))
+
+    def walk(x):
+        if isinstance(x, Access):
+            return Access(x.name, level=x.level, offset=add(x.offset),
+                          slot=x.slot, component=walk(x.component),
+                          sten_entry=x.sten_entry)
+        if _dc.is_dataclass(x) and not isinstance(x, type):
+            return type(x)(**{
+                f.name: walk(getattr(x, f.name)) for f in _dc.fields(x)
+            })
+        if isinstance(x, list):
+            return [walk(v) for v in x]
+        if isinstance(x, tuple):
+            return tuple(walk(v) for v in x)
+        return x
+
+    return walk(node)
+
+
 def substitute(node, mapping):
     """Template-parameter substitution over the AST (FunctionTemplate /
     Instantiate generics, L4_Parser.scala:218-221): every Access whose

@@ -15,6 +15,10 @@ from exastencils_tpu.dsl import nodes as N
 
 SLOT_KEYWORDS = {"active", "activeSlot", "next", "nextSlot", "previous", "previousSlot"}
 
+# offset aliases (reference util/l4/L4_OffsetAlias.scala): parsed as the
+# alias NAME; L4Executable resolves them to dimensionality-sized tuples
+DIRECTION_ALIASES = {"center", "east", "west", "north", "south", "top", "bottom"}
+
 
 class L4Parser:
     def __init__(self, src: str, filename: str = "<l4>"):
@@ -311,6 +315,12 @@ class L4Parser:
         ts.expect("op", "{")
         while not ts.at("op", "}"):
             ts.accept("op", ",")
+            if ts.cur.value in DIRECTION_ALIASES:
+                # `east => 0.25` — direction-alias entry (SWE Centering)
+                dirname = ts.next().value
+                ts.expect("op", "=>")
+                entries.append(N.StencilOffsetEntry(dirname, self.parse_expr()))
+                continue
             ts.expect("op", "[")
             first_exprs = [self.parse_expr()]
             while ts.accept("op", ","):
@@ -467,7 +477,11 @@ class L4Parser:
         kw = ts.next().value  # Var(iable) | Val(ue) | Expr
         is_val = kw in ("Val", "Value", "Expr")
         name = ts.expect("ident").value
-        dtype = "Real"
+        # `Expr f = <expression>` declares a LAZY alias: uses re-evaluate
+        # the expression in context, and `f@east` evaluates it with every
+        # contained access shifted (reference L4_ExpressionDeclaration —
+        # inlined, not materialized; SWE flux expressions)
+        dtype = "__Expr__" if kw == "Expr" else "Real"
         if ts.accept("op", ":"):
             dtype = self.parse_datatype()
         init = None
@@ -913,7 +927,13 @@ class L4Parser:
         # slot/level/offset modifiers may appear in either order
         # (`Solution<active>@current`, `Solution@current<next>`)
         while True:
-            if level is None and ts.at("op", "@") and ts.peek().value != "[":
+            if offset0 is None and ts.at("op", "@") \
+                    and ts.peek().value in DIRECTION_ALIASES:
+                # `F@east` — offset alias (L4_OffsetAlias), resolved to a
+                # concrete tuple once the dimensionality is known
+                ts.next()
+                offset0 = ts.next().value
+            elif level is None and ts.at("op", "@") and ts.peek().value != "[":
                 ts.next()
                 level = self.parse_level_spec_after_at()
             elif offset0 is None and ts.at("op", "@") and ts.peek().value == "[":

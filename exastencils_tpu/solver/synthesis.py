@@ -97,7 +97,11 @@ class GeneratedSolver:
 
     def __post_init__(self):
         b = self.backend
-        self._cycle = b.wrap(self.mg.cycle, ("field", "field"), "field")
+        # donate the iterate: the cycle's output replaces it, and the
+        # donation lets XLA run the Pallas smoothers truly in place
+        # instead of copying the non-donated input first
+        self._cycle = b.wrap(self.mg.cycle, ("field", "field"), "field",
+                             donate_argnums=(0,))
         self._res_norm = b.wrap(self.mg.res_norm, ("field", "field"), "scalar")
         if self.knowledge.solver_useFMG:
             self._fmg = b.wrap(
