@@ -173,6 +173,35 @@ def main():
         "residual_drop_1cycle": r1 / r0,
     }
 
+    if os.environ.get("BENCH_SHARDED", "1") != "0" and platform == "tpu":
+        # the distributed formulation on one chip: shard_map + wide-halo
+        # Pallas smoothers over a 1x1x1 mesh — measures what the sharded
+        # path costs relative to the dense formulation (multi-chip runs
+        # divide the grid over real mesh axes; see tests/test_sharded_pallas)
+        from exastencils_tpu.parallel.mesh import make_domain_mesh
+
+        mesh = make_domain_mesh((1, 1, 1), devices=jax.devices()[:1])
+        ssolver = PoissonMGSolver(k, mesh=mesh, shard_dims=(1, 1, 1))
+        ssol, srhs = ssolver.init_state()
+        scycle = ssolver._cycle
+        s1 = scycle(jnp.copy(ssol), srhs)
+        jax.block_until_ready(s1)
+        selapsed = None
+        for _ in range(2):
+            s = jnp.copy(ssol)
+            jax.block_until_ready(s)
+            t0 = time.perf_counter()
+            for _ in range(n_timed):
+                s = scycle(s, srhs)
+            float(jnp.sum(jnp.abs(s)))
+            dt = time.perf_counter() - t0
+            selapsed = dt if selapsed is None else min(selapsed, dt)
+        detail["sharded_glups"] = round(fine_dofs * n_timed / selapsed / 1e9, 4)
+        detail["sharded_cycle_ms"] = round(selapsed / n_timed * 1e3, 3)
+        top = ssolver.gen.mg.levels[k.maxLevel]
+        detail["sharded_kernel_mode"] = (
+            "pallas-fused-smoother" if top.smooth_n is not None else "xla")
+
     if os.environ.get("BENCH_DSL", "1") != "0":
         dsl_level = int(os.environ.get("BENCH_DSL_LEVEL", str(size_level)))
         if platform == "cpu":

@@ -306,6 +306,37 @@ class L4Executable:
             info.levels = sorted(set(info.levels) | set(levels))
             self.stencil_templates[st.name] = st
 
+        # --- L4 StencilField declarations: `StencilField A< coeffField
+        # => patternStencil >` — per-point coefficient vectors over the
+        # pattern stencil's offsets (field/ir/IR_StencilField.scala).
+        # Same runtime shape as stencil templates: writes `A:[off] = ..`,
+        # reads convolve with the assembled array coefficients ---
+        for sf in program.stencil_fields:
+            sd = next((s for s in program.stencils if s.name == sf.stencil),
+                      None)
+            if sd is None or not sd.entries:
+                raise ValueError(
+                    f"StencilField {sf.name!r}: pattern stencil "
+                    f"{sf.stencil!r} not declared")
+            offsets = [
+                tuple(int(self._eval_const(o)) for o in e.offsets)
+                for e in sd.entries
+            ]
+            coeff_info = self.fields.get(sf.field)
+            loc_str = "Node"
+            if coeff_info is not None:
+                loc_str = coeff_info.localization
+            tdecl = N.StencilTemplateDecl(
+                sf.name, loc_str, "global", offsets, sf.levels)
+            levels = (sf.levels or N.LvlAll()).resolve(self.lo, self.hi)
+            info = self.fields.setdefault(
+                sf.name, _FieldInfo(sf.name, _LOC_MAP.get(loc_str, NODE), [],
+                                    num_slots=1, ghost=1,
+                                    elem_shape=(len(offsets), 1),
+                                    is_complex=False, dup_layers=None))
+            info.levels = sorted(set(info.levels) | set(levels))
+            self.stencil_templates[sf.name] = tdecl
+
         # --- stencils (bound lazily: coefficients may reference fields,
         # the reference's stencil-field case IR_StencilField.scala) ---
         self.stencils: Dict[str, Dict[int, object]] = {}

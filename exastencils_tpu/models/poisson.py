@@ -112,9 +112,14 @@ class PoissonMGSolver:
                 from exastencils_tpu.parallel.backend import ShardedBackend
 
                 dims = self.shard_dims or tuple(self.mesh.devices.shape)
+                ghost = max(1, k.comm_ghostWidth, k.comm_haloAggregationFactor)
+                if k.tpu_use_pallas and nd == 3:
+                    # wide halos let the sharded Pallas smoother run one
+                    # exchange per K-iteration block (halo aggregation)
+                    ghost = max(ghost, 2 * max(self.n_pre, self.n_post))
                 self.backend = ShardedBackend(
                     self.grids, self.mesh, dims,
-                    ghost=max(1, k.comm_ghostWidth, k.comm_haloAggregationFactor),
+                    ghost=ghost,
                     replicate_below=k.tpu_coarse_replicate_threshold)
             else:
                 from exastencils_tpu.parallel.backend import DenseBackend

@@ -54,6 +54,62 @@ def make_fused_smoother_3d(
     return smooth_n
 
 
+def make_sharded_fused_smoother_3d(
+    A, field: Field, level: int, topo, local_cells, omega: float,
+    num_colors: int,
+) -> Optional[Callable]:
+    """Fused K-iteration RBGS on a SHARDED 3D level: ONE wide-halo
+    exchange per g//2-iteration block (the reference's halo aggregation,
+    comm_haloAggregationFactor), then the streaming wavefront kernel
+    over the halo-extended fragment array.  The physical-boundary dup
+    planes are excluded from updates via the kernel's runtime exclusion
+    scalars (per-shard, axis_index-dependent), so Dirichlet values are
+    preserved exactly like the dense path's never-written array edge.
+
+    Validity: the never-updated local edge ring goes stale one layer
+    per half-sweep, so g ghost layers admit g//2 full RBGS iterations
+    per exchange before the staleness reaches the dup planes.  The rhs
+    is exchanged once per smooth_n call (ghost-zone updates reproduce
+    the neighbor's interior arithmetic bit for bit).
+
+    Returns smooth_n(n, sol, rhs) or None outside the contract."""
+    import jax.numpy as jnp
+
+    if num_colors != 2:
+        return None
+    bc = field.bc_at(level)
+    if not isinstance(bc, DirichletBC):
+        return None
+    local_shape = tuple(topo.local_shape(tuple(local_cells)))
+    if not pallas_applicable_3d(local_shape, A.offsets, A.coefs):
+        return None
+    g = topo.ghost
+    if g < 2:
+        return None
+    per_block = g // 2
+    interp = _interpret_mode()
+    offsets, coefs = A.offsets, A.coefs
+    cells = tuple(local_cells)
+
+    def smooth_n(n, sol, rhs):
+        ex = []
+        for d in range(3):
+            ex.append(jnp.where(topo.is_lo_boundary(d), g, -1))
+            ex.append(jnp.where(topo.is_hi_boundary(d), g + cells[d], -1))
+        excl = jnp.stack([jnp.asarray(v, jnp.int32) for v in ex])
+        rhsx = topo.exchange(rhs, cells)
+        done = 0
+        while done < n:
+            k = min(per_block, n - done)
+            sol = topo.exchange(sol, cells)
+            sol = rbgs_fused_3d(sol, rhsx, offsets, coefs, omega, k,
+                                interpret=interp, excl=excl)
+            done += k
+        return sol
+
+    return smooth_n
+
+
 def _z_geometry_ok(lo_r: int, n_r: int, lo_p: int, n_p: int) -> bool:
     """The down kernels' 4-deep restriction ring covers only the default
     node (lo=-1, 3-tap) and cell (lo=0, 2-tap) z-geometries, and the up

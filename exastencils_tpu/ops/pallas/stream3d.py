@@ -81,13 +81,18 @@ def _apply_star_plane(a, b, c, cs):
 # ======================================================================
 
 
-def _rbgs_kernel(sol_ref, rhs_ref, out_ref, win, rwin,
+def _rbgs_kernel(excl_ref, sol_ref, rhs_ref, out_ref, win, rwin,
                  *, nz, ny, nx, K, W, R, cs, omega):
     """One grid step p: ingest plane p into the revolving window, apply
     red-iteration-k at plane p-(2k-1) and black-iteration-k at p-2k for
     k=1..K (in place, wavefront order), and emit plane p-2K.  Plane
     ingestion/empission DMA is Pallas's automatic pipeline (double-
-    buffered by the BlockSpec index maps in _build_rbgs_3d)."""
+    buffered by the BlockSpec index maps in _build_rbgs_3d).
+
+    `excl_ref` (SMEM int32[6]): per-dim lo/hi plane indices to EXCLUDE
+    from updates, -1 for none — the sharded path runs this kernel on
+    halo-extended fragment arrays where the physical Dirichlet boundary
+    sits at an interior index (the dup plane), not at the array edge."""
     c0 = cs[0]
     scale = omega / c0
     p = pl.program_id(0)
@@ -95,6 +100,8 @@ def _rbgs_kernel(sol_ref, rhs_ref, out_ref, win, rwin,
     iy = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 1)
     ix = lax.broadcasted_iota(jnp.int32, (1, ny, nx), 2)
     inner = (iy >= 1) & (iy <= ny - 2) & (ix >= 1) & (ix <= nx - 2)
+    inner = inner & (iy != excl_ref[2]) & (iy != excl_ref[3]) \
+        & (ix != excl_ref[4]) & (ix != excl_ref[5])
     par_yx = iy + ix
 
     @pl.when(p < nz)
@@ -116,7 +123,8 @@ def _rbgs_kernel(sol_ref, rhs_ref, out_ref, win, rwin,
         q = p - lag
         color = 0 if (lag % 2 == 1) else 1
 
-        @pl.when((q >= 1) & (q <= nz - 2))
+        @pl.when((q >= 1) & (q <= nz - 2)
+                 & (q != excl_ref[0]) & (q != excl_ref[1]))
         def _(q=q, color=color):
             update(q, color)
 
@@ -141,6 +149,7 @@ def _build_rbgs_3d(nz, ny, nx, K, cs_key, omega, dtype_str, interpret):
         grid=(nz + 2 * K,),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # excl planes (6,)
             pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ny, nx), lambda p: (jnp.clip(p, 0, nz - 1), 0, 0),
@@ -154,7 +163,7 @@ def _build_rbgs_3d(nz, ny, nx, K, cs_key, omega, dtype_str, interpret):
             pltpu.VMEM((W, ny, nx), dtype),
             pltpu.VMEM((R, ny, nx), dtype),
         ],
-        input_output_aliases={0: 0},
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(vmem * 1.5 + (1 << 20), 127 * 1024 * 1024)),
         ),
@@ -173,21 +182,30 @@ def _round_up(x, m):
 
 
 def rbgs_fused_3d(sol, rhs, offsets, coefs, omega: float, n_iters: int,
-                  interpret: bool = False):
+                  interpret: bool = False, excl=None):
     """n_iters full RBGS iterations (red+black, global parity coloring,
-    Dirichlet boundary preserved) on a dense (nz, ny, nx) array."""
+    Dirichlet boundary preserved) on a dense (nz, ny, nx) array.
+
+    `excl` (int32[6] or None): additional per-dim lo/hi plane indices to
+    exclude from updates — the sharded fragment path protects its
+    physical-boundary (dup) planes this way while updating the wide
+    halo zone (-1 entries are inert)."""
     cs = _star_coefs(offsets, coefs, 3)
     if cs is None:
         raise ValueError("not a constant radius-1 star stencil")
     nz, ny, nx = sol.shape
     cs_key = (cs[0],) + tuple(cs[1])
+    if excl is None:
+        excl = jnp.full((6,), -1, jnp.int32)
+    else:
+        excl = jnp.asarray(excl, jnp.int32)
     k_max = _max_k(ny, nx, sol.dtype.itemsize)
     left = n_iters
     while left > 0:
         K = min(left, k_max)
         fn = _build_rbgs_3d(nz, ny, nx, K, cs_key, float(omega),
                             str(sol.dtype), interpret)
-        sol = fn(sol, rhs)
+        sol = fn(excl, sol, rhs)
         left -= K
     return sol
 

@@ -452,6 +452,9 @@ class ShardedBackend:
             out_specs=tuple(spec_of(k) for k in out_kinds)
             if isinstance(out_kinds, (list, tuple))
             else spec_of(out_kinds),
+            # Pallas calls inside the mapped body don't annotate their
+            # outputs' varying-mesh-axes; skip the vma check
+            check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=donate_argnums)
 

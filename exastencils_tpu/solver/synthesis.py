@@ -268,6 +268,24 @@ def generate_solver(
                     A, bc_sol, h.topo, h.local_cells, omega, coloring,
                     k.comm_haloAggregationFactor,
                 )
+            # Pallas whole-block fusion survives distribution: the same
+            # streaming kernel runs per fragment with wide-halo blocks
+            # (supersedes the jnp aggregated smoother when applicable)
+            if (
+                k.tpu_use_pallas
+                and nd == 3
+                and num_colors == 2
+                and smoother_kind in ("RBGS", "GaussSeidel", "GS")
+            ):
+                from exastencils_tpu.ops.pallas import (
+                    make_sharded_fused_smoother_3d,
+                )
+
+                fused = make_sharded_fused_smoother_3d(
+                    A, u, lvl, h.topo, h.local_cells, omega, num_colors
+                )
+                if fused is not None:
+                    smooth_n = fused
         if (
             k.tpu_use_pallas
             and not backend.is_sharded

@@ -40,13 +40,22 @@ CASES = [
     ("Opts", ("seq_all", "tempBlock", "seq")),
 ]
 
+# 3D variants (64^3 f64 multigrid on the CPU test backend: minutes each)
+CASES_3D = [
+    ("BC", "3D_Polynomial"),
+    ("BC", "3D_Trigonometric"),
+    ("CellBased", "3D_Basic"),
+    ("CellBased", "3D_Neumann"),
+    ("FMG", "3D_Trigonometric"),
+    ("FMG", "3D_VarCoeff"),
+]
+
 
 def _ids():
     return [f"{s}/{n if isinstance(n, str) else n[1]}" for s, n in CASES]
 
 
-@pytest.mark.parametrize("suite,name", CASES, ids=_ids())
-def test_suite_golden(suite, name, reference_root, tmp_path):
+def _run_golden(suite, name, reference_root, tmp_path):
     if isinstance(name, str):
         kn = exa = res = name
     else:
@@ -70,3 +79,15 @@ def test_suite_golden(suite, name, reference_root, tmp_path):
     with open(base + ".results") as f:
         golden = [l.strip() for l in f]
     assert [l.strip() for l in lines] == golden
+
+
+@pytest.mark.parametrize("suite,name", CASES, ids=_ids())
+def test_suite_golden(suite, name, reference_root, tmp_path):
+    _run_golden(suite, name, reference_root, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("suite,name", CASES_3D,
+                         ids=[f"{s}/{n}" for s, n in CASES_3D])
+def test_suite_golden_3d(suite, name, reference_root, tmp_path):
+    _run_golden(suite, name, reference_root, tmp_path)
