@@ -663,6 +663,12 @@ class L4Executable:
         return self._shardings[key]
 
     def get_field(self, name: str, level: int, slot: Optional[str] = None):
+        """Current array of `field@level` (active slot unless `slot`).
+
+        NOTE (TPU): staged runs donate the state tuple, so an array
+        obtained here is CONSUMED by the next staged execution — callers
+        that keep it across further calls must `jnp.copy` it first
+        (bench.py does exactly that)."""
         if self._stale and (name, level) in self._stale:
             # dead-store-elided field (fast path): rematerialize for the
             # current iterate before anyone reads it
@@ -1890,6 +1896,17 @@ class L4Executable:
                 # (path, field, useGhost, useAscii, condition, separator)
                 binary = (not bool(self.eval_expr(e.args[3], fr, loop))
                           if len(e.args) > 3 else False)
+                if len(e.args) > 4:
+                    # a per-point condition selects the written subset in
+                    # the reference (io/ir/IR_AccessPattern.scala); we
+                    # refuse non-trivial conditions rather than silently
+                    # writing every point (advisor r4)
+                    cond = self.eval_expr(e.args[4], fr, loop)
+                    if getattr(cond, "shape", ()) or not bool(cond):
+                        raise NotImplementedError(
+                            "writeField with a non-trivial condition "
+                            "argument is not supported"
+                        )
                 sep = (str(self.eval_expr(e.args[5], fr, loop))
                        if len(e.args) > 5 else ",")
                 fn(path, arr, binary=binary, sep=sep)
@@ -2348,8 +2365,19 @@ class L4Executable:
             entry = self._stage_build(key0, stmts, fr, state_keys, traced_names)
             snapshot = (dict(self.state), dict(self.globals),
                         dict(self.slot_index), dict(fr.vars))
+            # the first call both traces AND executes; donate COPIES so
+            # an execution-time failure (TPU OOM, Mosaic runtime error)
+            # consumes the copies, not the arrays the recovery path
+            # below restores into self.state (advisor r4 medium: with
+            # the originals donated, the eager replay crashed with
+            # "Array has been deleted").  Steady-state cache hits donate
+            # the originals — a failure there propagates as a hard error
+            # rather than pretending recovery is possible.
+            state_don = tuple(
+                jnp.copy(x) if hasattr(x, "shape") else x for x in state_in
+            )
             try:
-                outs = entry["fn"](state_in, vars_in)
+                outs = entry["fn"](state_don, vars_in)
             except Exception:
                 self.state, self.globals, self.slot_index = (
                     snapshot[0], snapshot[1], snapshot[2])
@@ -2968,7 +2996,24 @@ class L4Executable:
                             for x in s.then_body + s.else_body):
                 # early exit from inside a data-parallel loop (the
                 # IOTest compareFields pattern: `if (diff > eps) {
-                # print(..); return -1 }`): fire when ANY point matches
+                # print(..); return -1 }`): fire when ANY point matches.
+                # The body runs ONCE (not per point), so it must consist
+                # of side-effect statements only — an assignment here
+                # would write every grid point instead of the matching
+                # subset (advisor r4), which we refuse rather than get
+                # wrong.
+                def side_effect_only(body):
+                    return all(
+                        isinstance(x, (N.Return, N.ExprStmt)) for x in body
+                    )
+
+                if not side_effect_only(s.then_body + s.else_body):
+                    raise NotImplementedError(
+                        "per-point `if` with `return` inside a field loop "
+                        "mixes assignments with the early exit; only "
+                        "side-effect statements (print/exit) are supported "
+                        "in such a branch"
+                    )
                 m = jnp.broadcast_to(cond, loop.shape)
                 if loop.mask is not None:
                     m = jnp.logical_and(m, loop.mask)

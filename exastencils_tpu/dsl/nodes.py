@@ -440,7 +440,14 @@ def resolve_direction_aliases(node, ndim: int):
     import dataclasses as _dc
 
     def conv(name):
-        return tuple(DIRECTION_OFFSETS[name][:ndim])
+        full = DIRECTION_OFFSETS[name]
+        if any(full[d] != 0 for d in range(ndim, 3)):
+            # e.g. `F@top` in a 2D program: truncating would silently
+            # yield a (0,0) center access (advisor r4)
+            raise ValueError(
+                f"direction alias '{name}' lies outside a {ndim}D program"
+            )
+        return tuple(full[:ndim])
 
     def walk(x):
         if isinstance(x, Access) and isinstance(x.offset, str):

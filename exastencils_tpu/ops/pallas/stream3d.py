@@ -181,6 +181,14 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _pair_schedule() -> bool:
+    """Pair-stepped (v2) kernels are the default; EXA_STREAM_V1=1 forces
+    the single-plane v1 schedule (kept for the perf A/B table)."""
+    import os
+
+    return os.environ.get("EXA_STREAM_V1", "0") != "1"
+
+
 def rbgs_fused_3d(sol, rhs, offsets, coefs, omega: float, n_iters: int,
                   interpret: bool = False, excl=None):
     """n_iters full RBGS iterations (red+black, global parity coloring,
@@ -200,12 +208,19 @@ def rbgs_fused_3d(sol, rhs, offsets, coefs, omega: float, n_iters: int,
     else:
         excl = jnp.asarray(excl, jnp.int32)
     k_max = _max_k(ny, nx, sol.dtype.itemsize)
+    pair = _pair_schedule()
     left = n_iters
     while left > 0:
         K = min(left, k_max)
-        fn = _build_rbgs_3d(nz, ny, nx, K, cs_key, float(omega),
-                            str(sol.dtype), interpret)
-        sol = fn(excl, sol, rhs)
+        if pair:
+            from exastencils_tpu.ops.pallas.stream3d_pair import rbgs_fused_3d_p2
+
+            sol = rbgs_fused_3d_p2(sol, rhs, cs_key, float(omega), K,
+                                   excl, interpret)
+        else:
+            fn = _build_rbgs_3d(nz, ny, nx, K, cs_key, float(omega),
+                                str(sol.dtype), interpret)
+            sol = fn(excl, sol, rhs)
         left -= K
     return sol
 
@@ -596,6 +611,15 @@ def smooth_res_restrict_fused_3d(sol, rhs, offsets, coefs, omega, n_iters,
         raise ValueError("not a constant radius-1 star stencil")
     nz, ny, nx = sol.shape
     nzc, nyc, nxc = coarse_shape
+    if _pair_schedule():
+        from exastencils_tpu.ops.pallas.stream3d_pair import (
+            smooth_res_restrict_fused_3d_p2,
+        )
+
+        excl = jnp.full((6,), -1, jnp.int32)
+        return smooth_res_restrict_fused_3d_p2(
+            sol, rhs, (cs[0],) + tuple(cs[1]), float(omega), int(n_iters),
+            ry, rx, wz, lo_z, tuple(coarse_shape), excl, interpret)
     fn = _build_smooth_down_3d(nz, ny, nx, nzc, nyc, nxc, int(n_iters),
                                (cs[0],) + tuple(cs[1]), float(omega),
                                tuple(wz), int(lo_z), str(sol.dtype), interpret)
@@ -729,6 +753,15 @@ def prolong_correct_smooth_fused_3d(sol, sol_c, rhs, offsets, coefs, omega,
         raise ValueError("not a constant radius-1 star stencil")
     nz, ny, nx = sol.shape
     nzc, nyc, nxc = sol_c.shape
+    if _pair_schedule():
+        from exastencils_tpu.ops.pallas.stream3d_pair import (
+            prolong_correct_smooth_fused_3d_p2,
+        )
+
+        excl = jnp.full((6,), -1, jnp.int32)
+        return prolong_correct_smooth_fused_3d_p2(
+            sol, sol_c, rhs, (cs[0],) + tuple(cs[1]), float(omega),
+            int(n_iters), py, px, wz, lo_z, excl, interpret)
     fn = _build_up_smooth_3d(nz, ny, nx, nzc, nyc, nxc, int(n_iters),
                              (cs[0],) + tuple(cs[1]), float(omega),
                              tuple(wz), int(lo_z), str(sol.dtype), interpret)
