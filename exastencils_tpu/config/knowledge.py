@@ -48,13 +48,7 @@ ACCEPTED_COMPAT_FLAGS = {
     "experimental_trimBoundsForReductionLoops": "masked reductions instead",
     "experimental_resolveInverseFunctionCall": "jnp.linalg owns inversion",
     "experimental_useNewMatrixStrategies": "jnp.linalg owns matrix ops",
-    # timing of individual statements inside one fused XLA program is
-    # not observable; jax.profiler traces cover these use cases
     "timer_syncMpi": "no MPI; device sync via block_until_ready",
-    "timer_automaticTiming": "statements fuse into one XLA program",
-    "timer_automaticCommTiming": "collectives fuse into the program",
-    "timer_automaticBCsTiming": "bc updates fuse into the program",
-    "timer_automaticIOTiming": "host IO is timed by the Timer DSL fns",
     "benchmark_backend": "bench.py + jax.profiler replace likwid",
     "comm_batchCommunication": "XLA batches collectives during scheduling",
     "data_useFieldNamesAsIdx": "fields are named arrays, not index slots",
@@ -283,6 +277,13 @@ class Knowledge:
         # interior/boundary split — alias onto the TPU overlap path
         if self.comm_overlapCommunication:
             self.tpu_overlap_halo = True
+        # automatic category timing: sub-flags require the master switch
+        # (reference config/Knowledge.scala:1019-1021 condEnsureValue
+        # chain enables it instead of failing)
+        if (self.timer_automaticCommTiming or self.timer_automaticBCsTiming
+                or self.timer_automaticIOTiming):
+            ensure(self.timer_automaticTiming, "timer_automaticTiming", True,
+                   "required by timer_automatic{Comm,BCs,IO}Timing")
         # compat flags: accepted so reference .knowledge files load, but
         # deliberately without effect — log any non-default use
         defaults = type(self)()

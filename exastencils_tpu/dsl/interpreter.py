@@ -1813,7 +1813,10 @@ class L4Executable:
 
             path = str(self.eval_expr(e.args[0], fr, loop))
             acc = e.args[1]
-            write_field(path, self.get_field(acc.name, self._resolve_level(acc.level, fr)))
+            with self.timers.auto_scope("IO"):
+                write_field(
+                    path,
+                    self.get_field(acc.name, self._resolve_level(acc.level, fr)))
             return None
         if name == "readField":
             from exastencils_tpu.runtime.fieldio import read_field
@@ -1822,10 +1825,12 @@ class L4Executable:
             acc = e.args[1]
             lvl = self._resolve_level(acc.level, fr)
             cur = self.get_field(acc.name, lvl)
-            self.set_field(acc.name, lvl, read_field(path, like=cur))
+            with self.timers.auto_scope("IO"):
+                self.set_field(acc.name, lvl, read_field(path, like=cur))
             return None
         if name.startswith(("writeField_", "readField_", "printField_")):
-            return self._eval_io_backend_call(name, e, fr, loop)
+            with self.timers.auto_scope("IO"):
+                return self._eval_io_backend_call(name, e, fr, loop)
         if name == "exit":
             code = int(self.eval_expr(e.args[0], fr, loop)) if e.args else 0
             raise _Exit(code)
@@ -1849,7 +1854,10 @@ class L4Executable:
 
             path = str(self.eval_expr(e.args[0], fr, loop))
             acc = e.args[1]
-            print_field(path, self.get_field(acc.name, self._resolve_level(acc.level, fr)))
+            with self.timers.auto_scope("IO"):
+                print_field(
+                    path,
+                    self.get_field(acc.name, self._resolve_level(acc.level, fr)))
             return None
         if name == "printVtk":
             from exastencils_tpu.runtime.vtk import print_vtk
@@ -2143,7 +2151,15 @@ class L4Executable:
                 (s.condition is None or self._expr_stageable(s.condition, level))
                 and all(self._stmt_stageable(x, level) for x in s.body)
             )
-        if isinstance(s, (N.Communicate, N.ApplyBC, N.Advance, N.SolveMatSys)):
+        if isinstance(s, (N.Communicate, N.ApplyBC)):
+            # automatic category timing needs these to run eagerly so
+            # each occurrence is individually measurable (the reference
+            # instruments the generated functions the same way,
+            # IR_AutomaticFunctionTiming); perturbation-by-observation
+            # is inherent to the feature
+            cat = "COMM" if isinstance(s, N.Communicate) else "APPLYBC"
+            return not self.timers.auto_enabled(cat)
+        if isinstance(s, (N.Advance, N.SolveMatSys)):
             return True
         if isinstance(s, N.SolveLocally):
             return all(
@@ -3095,20 +3111,24 @@ class L4Executable:
         elif isinstance(s, N.SolveLocally):
             self._exec_solve_locally(s, fr, loop)
         elif isinstance(s, N.Communicate):
-            self._exec_communicate(s, fr)
+            with self.timers.auto_scope(
+                    "COMM", self._resolve_level(s.field.level, fr)):
+                self._exec_communicate(s, fr)
         elif isinstance(s, N.ApplyBC):
             lvl = self._resolve_level(s.field.level, fr)
-            bc = self.fields[s.field.name].bc_by_level.get(lvl)
-            if isinstance(bc, _FunctionBC):
-                fn = self.functions.get((bc.fn_name, lvl)) \
-                    or self.functions.get((bc.fn_name, None))
-                if fn is None:
-                    raise ValueError(f"bc function {bc.fn_name!r} not found")
-                self.call_function(fn, lvl, [])
-                return
-            arr = self.get_field(s.field.name, lvl, s.field.slot)
-            self.set_field(s.field.name, lvl,
-                           self._apply_bc_field(s.field.name, lvl, arr), s.field.slot)
+            with self.timers.auto_scope("APPLYBC", lvl):
+                bc = self.fields[s.field.name].bc_by_level.get(lvl)
+                if isinstance(bc, _FunctionBC):
+                    fn = self.functions.get((bc.fn_name, lvl)) \
+                        or self.functions.get((bc.fn_name, None))
+                    if fn is None:
+                        raise ValueError(f"bc function {bc.fn_name!r} not found")
+                    self.call_function(fn, lvl, [])
+                    return
+                arr = self.get_field(s.field.name, lvl, s.field.slot)
+                self.set_field(s.field.name, lvl,
+                               self._apply_bc_field(s.field.name, lvl, arr),
+                               s.field.slot)
         elif isinstance(s, N.Advance):
             lvl = self._resolve_level(s.field.level, fr)
             key = (s.field.name, lvl)

@@ -112,6 +112,34 @@ class TimerRegistry:
             finally:
                 self.stop(name)
 
+    # --- automatic category timing (IR_AutomaticFunctionTiming) ---
+    # Categories mirror IR_AutomaticTimingCategory (COMM/APPLYBC/IO; the
+    # reference's PACK/UNPACK/WAIT phases have no distinct analog here —
+    # a ppermute exchange is one op).  Timer naming follows the generated
+    # code: autoTime_<CATEGORY>[@level]
+    # (communication/ir/IR_RemoteSend.scala:96).
+
+    def auto_enabled(self, category: str) -> bool:
+        k = self.knowledge
+        if k is None or not getattr(k, "timer_automaticTiming", False):
+            return False
+        return bool({
+            "COMM": getattr(k, "timer_automaticCommTiming", False),
+            "APPLYBC": getattr(k, "timer_automaticBCsTiming", False),
+            "IO": getattr(k, "timer_automaticIOTiming", False),
+        }.get(category, False))
+
+    def auto_scope(self, category: str, level: Optional[int] = None):
+        """Context manager timing one occurrence of a category (leveled
+        for COMM/APPLYBC like IR_IV_AutomaticLeveledTimer); a no-op
+        when the category is not enabled."""
+        if not self.auto_enabled(category):
+            return contextlib.nullcontext()
+        name = f"autoTime_{category}"
+        if level is not None:
+            name = f"{name}@{level}"
+        return self(name)
+
     # --- reporting (IR_PrintAllTimers / IR_PrintTimerStatistics) ---
     def print_all(self, out=print):
         for name in sorted(self.timers):

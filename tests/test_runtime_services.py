@@ -93,3 +93,44 @@ def test_vtk_and_xdmf_writers(tmp_path):
     xml = open(base + ".xdmf").read()
     assert "2DCoRectMesh" in xml and "Solution" in xml
     assert os.path.exists(base + "_Solution.bin")
+
+
+def test_automatic_category_timing():
+    """timer_automaticTiming + sub-flags instrument communicate/apply-bc/
+    IO occurrences with autoTime_<CATEGORY>[@level] timers (reference
+    IR_AutomaticFunctionTiming; naming IR_RemoteSend.scala:96), printed
+    by printAllTimers, without changing solver output."""
+    from exastencils_tpu.dsl.interpreter import L4Executable
+    from exastencils_tpu.dsl.parser import parse_l4
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = parse_l4(os.path.join(repo, "examples", "poisson_2d.exa4"))
+
+    def run(**flags):
+        k = Knowledge(dimensionality=2, minLevel=1, maxLevel=4, **flags).update()
+        lines = []
+        ex = L4Executable(prog, k, out=lines.append)
+        ex.run()
+        return lines, ex.timers
+
+    base_lines, _ = run()
+    lines, timers = run(
+        timer_automaticCommTiming=True,
+        timer_automaticBCsTiming=True,
+        timer_automaticIOTiming=True,
+    )
+    assert lines == base_lines  # observation must not change results
+    names = set(timers.timers)
+    assert any(n.startswith("autoTime_COMM@") for n in names), names
+    assert any(n.startswith("autoTime_APPLYBC@") for n in names), names
+    comm = next(n for n in names if n.startswith("autoTime_COMM@"))
+    assert timers.timers[comm].num_measurements > 0
+    out = []
+    timers.print_all(out.append)
+    assert any("autoTime_COMM" in l for l in out)
+
+
+def test_automatic_timing_constraint_chain():
+    """Sub-flags force the master switch on (Knowledge.scala:1019-1021)."""
+    k = Knowledge(timer_automaticCommTiming=True).update()
+    assert k.timer_automaticTiming
