@@ -30,6 +30,14 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--trace-dir", default=None,
                     help="capture a jax.profiler trace to this directory")
+    ap.add_argument("--check", default=None, metavar="GOLDEN.results",
+                    help="diff the program output against a golden "
+                         ".results file (reference Testing/run_test.py; "
+                         "native C differ): exit 0 on match, 1 with the "
+                         "first differing line otherwise")
+    ap.add_argument("--check-eps", type=float, default=1e-6,
+                    help="numeric tolerance for --check (default 1e-6, "
+                         "the reference's EPS)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -55,8 +63,14 @@ def main(argv=None):
         parse_config_file(args.platform, k)  # platform keys land in _unused
     prog = build_program(args.settings, k)
 
+    lines = []
+
+    def emit(s):
+        print(s)
+        lines.append(str(s))
+
     def run():
-        ex = L4Executable(prog, k, out=print)
+        ex = L4Executable(prog, k, out=emit if args.check else print)
         ex.run(args.function)
         return ex
 
@@ -65,6 +79,27 @@ def main(argv=None):
             run()
     else:
         run()
+
+    if args.check:
+        import tempfile
+
+        from exastencils_tpu.native import check_results
+
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".out", delete=False) as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+            got_path = f.name
+        rc = check_results(got_path, args.check, eps=args.check_eps)
+        if rc == 0:
+            print(f"CHECK OK: output matches {args.check}")
+            return 0
+        if rc > 0:
+            print(f"CHECK FAILED: first difference at line {rc} "
+                  f"(vs {args.check})")
+        else:
+            print(f"CHECK FAILED: rc={rc} "
+                  "(-2: golden unreadable, -3: line-count mismatch)")
+        return 1
     return 0
 
 

@@ -84,3 +84,26 @@ def test_check_results(lib, tmp_path, reference_root):
     ok = tmp_path / "ok.results"
     ok.write_text("\n".join(lines) + "\n")
     assert native.check_results(str(ok), golden) == 0
+
+
+def test_cli_check_mode(reference_root, capsys):
+    """`python -m exastencils_tpu ... --check golden.results` — the
+    native differ's product role (reference Testing/run_test.py)."""
+    import exastencils_tpu.__main__ as cli
+
+    base = os.path.join(reference_root, "Testing", "Poisson",
+                        "2D_FD_Poisson_fromL4")
+    rc = cli.main([base + ".settings", base + ".knowledge",
+                   "--cpu", "--f64", "--check", base + ".results"])
+    assert rc == 0
+    assert "CHECK OK" in capsys.readouterr().out
+    # a wrong golden must fail with a line number
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".results",
+                                     delete=False) as f:
+        f.write("9.999e+99\n")
+        bad = f.name
+    rc = cli.main([base + ".settings", base + ".knowledge",
+                   "--cpu", "--f64", "--check", bad])
+    assert rc == 1
+    assert "CHECK FAILED" in capsys.readouterr().out
