@@ -114,9 +114,11 @@ class PoissonMGSolver:
                 dims = self.shard_dims or tuple(self.mesh.devices.shape)
                 ghost = max(1, k.comm_ghostWidth, k.comm_haloAggregationFactor)
                 if k.tpu_use_pallas and nd == 3:
-                    # wide halos let the sharded Pallas smoother run one
-                    # exchange per K-iteration block (halo aggregation)
-                    ghost = max(ghost, 2 * max(self.n_pre, self.n_post))
+                    # wide halos let the sharded Pallas whole-leg kernels
+                    # run one exchange per leg (halo aggregation): the
+                    # down leg needs 2*K+2 layers (K iterations +
+                    # residual radius + restriction tap)
+                    ghost = max(ghost, 2 * max(self.n_pre, self.n_post) + 2)
                 self.backend = ShardedBackend(
                     self.grids, self.mesh, dims,
                     ghost=ghost,

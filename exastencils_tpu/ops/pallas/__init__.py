@@ -110,6 +110,120 @@ def make_sharded_fused_smoother_3d(
     return smooth_n
 
 
+def make_sharded_fused_legs_3d(
+    A, field: Field, level: int, topo, local_cells, coarse_local_cells,
+    restrict_op, prolong_op, omega: float, n_pre: int, n_post: int,
+    num_colors: int, itemsize: int = 4,
+):
+    """Whole-leg fusion on a SHARDED 3D level: the down leg (n_pre RBGS
+    iterations + residual + restriction) and up leg (prolongation +
+    correction + n_post iterations) each run as ONE streaming pass over
+    the halo-extended fragment arrays, per shard, after a single wide
+    halo exchange — removing the dense-vs-sharded fusion gap
+    (`solver/synthesis.py` previously gated whole-leg fusion
+    `not backend.is_sharded`; VERDICT r4 weak #2).
+
+    Geometry: ghosted z-indexing shifts the restriction/prolongation
+    z-map by the ghost width (coarse ghosted plane cz' taps fine ghosted
+    2*cz' - g + lo + k), expressed by passing lo_z - g to the pair
+    kernels; the y/x transfer matrices are the ghosted fragment-local
+    ones (ops/transfer.restriction_matrix_1d with ghost_in/out = g, the
+    same construction as the sharded backend's unfused transfers).
+
+    Staleness contract (same argument as make_sharded_fused_smoother_3d):
+    the never-updated local edge ring goes stale one layer per
+    half-sweep; the down leg needs g >= 2*n_pre + 2 (K iterations +
+    residual radius + restriction tap), the up leg g >= 2*n_post + 1
+    (correction + K iterations), so all owned/dup values stay
+    bitwise-equal to the unfused exchange-every-color path.
+
+    Returns (down(sol, rhs) -> (sol, rhs_c), up(sol, sol_c, rhs) -> sol)
+    — each exchanges its operands internally — or (None, None) outside
+    the contract."""
+    import jax.numpy as jnp
+
+    from exastencils_tpu.ops.transfer import (
+        prolongation_matrix_full_ghosted,
+        restriction_matrix_1d,
+        separable_kernels,
+    )
+
+    if num_colors != 2:
+        return None, None
+    if not isinstance(field.bc_at(level), DirichletBC):
+        return None, None
+    g = topo.ghost
+    if g < max(2 * n_pre + 2, 2 * n_post + 1):
+        return None, None
+    local_shape = tuple(topo.local_shape(tuple(local_cells)))
+    coarse_shape = tuple(topo.local_shape(tuple(coarse_local_cells)))
+    if not pallas_applicable_3d(local_shape, A.offsets, A.coefs):
+        return None, None
+    from exastencils_tpu.ops.pallas.stream3d import _max_k, _star_coefs
+
+    cs = _star_coefs(A.offsets, A.coefs, 3)
+    if cs is None:
+        return None, None
+    k_max = _max_k(local_shape[1], local_shape[2], int(itemsize))
+    if not (1 <= n_pre <= k_max and 1 <= n_post <= k_max):
+        return None, None
+    try:
+        r_kern = separable_kernels(restrict_op)
+        p_kern = separable_kernels(prolong_op)
+    except ValueError:
+        return None, None
+    wz_r, lo_r = tuple(r_kern[0]), int(restrict_op.lo[0])
+    wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
+    if not _z_geometry_ok(lo_r, len(wz_r), lo_p, len(wz_p)):
+        return None, None
+    off_p = (1 - (lo_p - g)) // 2
+    if coarse_shape[0] < off_p + 2:
+        return None, None  # coarse fragment too shallow for the ring
+    ry, rx = (
+        np.asarray(restriction_matrix_1d(
+            r_kern[d], restrict_op.lo[d], coarse_local_cells[d] + 1,
+            local_shape[d], coarse_shape[d], ghost_in=g, ghost_out=g))
+        for d in (1, 2)
+    )
+    py, px = (
+        np.asarray(prolongation_matrix_full_ghosted(
+            p_kern[d], prolong_op.lo[d], coarse_shape[d], local_shape[d],
+            ghost=g))
+        for d in (1, 2)
+    )
+    interp = _interpret_mode()
+    cs_key = (cs[0],) + tuple(cs[1])
+    cells = tuple(local_cells)
+
+    from exastencils_tpu.ops.pallas.stream3d_pair import (
+        prolong_correct_smooth_fused_3d_p2,
+        smooth_res_restrict_fused_3d_p2,
+    )
+
+    def excl():
+        ex = []
+        for d in range(3):
+            ex.append(jnp.where(topo.is_lo_boundary(d), g, -1))
+            ex.append(jnp.where(topo.is_hi_boundary(d), g + cells[d], -1))
+        return jnp.stack([jnp.asarray(v, jnp.int32) for v in ex])
+
+    def down(sol, rhs):
+        rhsx = topo.exchange(rhs, cells)
+        solx = topo.exchange(sol, cells)
+        return smooth_res_restrict_fused_3d_p2(
+            solx, rhsx, cs_key, float(omega), int(n_pre), ry, rx,
+            wz_r, lo_r - g, coarse_shape, excl(), interp)
+
+    def up(sol, sol_c, rhs):
+        rhsx = topo.exchange(rhs, cells)
+        solx = topo.exchange(sol, cells)
+        return prolong_correct_smooth_fused_3d_p2(
+            solx, sol_c, rhsx, cs_key, float(omega), int(n_post), py, px,
+            wz_p, lo_p - g, excl(), interp)
+
+    return down, up
+
+
 def _z_geometry_ok(lo_r: int, n_r: int, lo_p: int, n_p: int) -> bool:
     """The down kernels' 4-deep restriction ring covers only the default
     node (lo=-1, 3-tap) and cell (lo=0, 2-tap) z-geometries, and the up

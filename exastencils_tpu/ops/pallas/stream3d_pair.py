@@ -197,11 +197,16 @@ def _smooth_down_kernel_p2(excl_ref, sol_ref, rhs_ref, ry_ref, rx_ref,
     _wavefront_pair(update, masks, excl_ref, g, nz, K)
 
     # residual + y/x restriction of the two fully-smoothed planes
-    # q = 2g-2K-1 and 2g-2K into a 4-deep ring
+    # q = 2g-2K-1 and 2g-2K into a 4-deep ring.  Residual is ZERO on
+    # physical-boundary planes (gen_residual bc = 0.0): densely those
+    # are the array edges; on a shard the physical z-boundary sits at
+    # the interior dup planes excl[0]/excl[1].
     for s in range(2):
         q = 2 * g + s - 2 * K - 1
+        z_bc = (q == 0) | (q == nz - 1) \
+            | (q == excl_ref[0]) | (q == excl_ref[1])
 
-        @pl.when((q >= 1) & (q <= nz - 2))
+        @pl.when((q >= 1) & (q <= nz - 2) & jnp.logical_not(z_bc))
         def _(q=q):
             a = win[pl.ds((q - 1) % W, 1)]
             b = win[pl.ds(q % W, 1)]
@@ -213,7 +218,7 @@ def _smooth_down_kernel_p2(excl_ref, sol_ref, rhs_ref, ry_ref, rx_ref,
             rc = jnp.dot(t, rx_ref[:].T, preferred_element_type=r2.dtype)
             resw[pl.ds(q % 4, 1)] = rc.reshape(1, nyc, nxc)
 
-        @pl.when((q == 0) | (q == nz - 1))
+        @pl.when(((q >= 0) & (q <= nz - 1)) & z_bc)
         def _(q=q):
             resw[pl.ds(q % 4, 1)] = jnp.zeros((1, nyc, nxc), resw.dtype)
 
@@ -323,7 +328,7 @@ def smooth_res_restrict_fused_3d_p2(sol, rhs, cs_key, omega, K, ry, rx,
 def _up_smooth_kernel_p2(excl_ref, sol_ref, rhs_ref, c0_ref, c1_ref,
                          py_ref, px_ref, out_ref, win, rwin, pring,
                          *, nz, ny, nx, nzc, nyc, nxc, K, W, R, cs,
-                         omega, wz, lo_z):
+                         omega, wz, lo_z, off):
     c0 = cs[0]
     scale = omega / c0
     g = pl.program_id(0)
@@ -339,17 +344,22 @@ def _up_smooth_kernel_p2(excl_ref, sol_ref, rhs_ref, c0_ref, c1_ref,
             t, px_ref[:].T, preferred_element_type=cpl.dtype
         ).reshape(1, ny, nx)
 
-    # warm-up: plane 0 into slot 0; slot 2 (the never-used cz=-1 read
-    # position at g=0) zeroed so the weight-0 product below stays finite
+    # the newest coarse plane needed at step g is czN = g + off with
+    # off = (1 - lo_z)//2 (czH of sub-plane p=2g+1); the step range is
+    # {czN-2 .. czN}, so a 3-slot ring keyed cz%3 suffices.
+    # warm-up: plane czN(0)-1 = off-1 into its slot; the (off-2) slot
+    # position (the never-used lowest read at g=0) zeroed so the
+    # weight-0 product below stays finite
     @pl.when(g == 0)
     def _():
-        pring[pl.ds(2, 1)] = jnp.zeros((1, ny, nx), dtype)
-        prolong_into(0, c0_ref)
+        pring[pl.ds((off - 2) % 3, 1)] = jnp.zeros((1, ny, nx), dtype)
+        prolong_into((off - 1) % 3, c0_ref)
 
-    # every step: newest coarse plane min(g+1, nzc-1) into slot (g+1)%3
-    # (for g+1 > nzc-1 this re-prolongs the clamped top plane into a slot
-    # no in-range read maps to; its weights are zeroed by the ok-checks)
-    prolong_into((g + 1) % 3, c1_ref)
+    # every step: newest coarse plane min(g+off, nzc-1) into slot
+    # (g+off)%3 (for g+off > nzc-1 this re-prolongs the clamped top
+    # plane into a slot no in-range read maps to; its weights are zeroed
+    # by the ok-checks)
+    prolong_into((g + off) % 3, c1_ref)
 
     for s in range(2):
         p = 2 * g + s
@@ -368,7 +378,11 @@ def _up_smooth_kernel_p2(excl_ref, sol_ref, rhs_ref, c0_ref, c1_ref,
                 wL = wL + jnp.where(ok & (cz == czL), wz[k], 0.0).astype(dtype)
             corr = wH * pring[pl.ds(czH % 3, 1)] + wL * pring[pl.ds(czL % 3, 1)]
             sline = sol_ref[pl.ds(s, 1)]
-            write = inner & (p >= 1) & (p <= nz - 2)
+            # no correction on physical-boundary planes (Dirichlet):
+            # densely the array edges; on a shard also the dup planes
+            # excl[0]/excl[1]
+            write = inner & (p >= 1) & (p <= nz - 2) \
+                & (p != excl_ref[0]) & (p != excl_ref[1])
             win[pl.ds(p % W, 1)] = jnp.where(write, sline + corr, sline)
             rwin[pl.ds(p % R, 1)] = rhs_ref[pl.ds(s, 1)]
 
@@ -387,9 +401,11 @@ def _build_up_smooth_3d_p2(nz, ny, nx, nzc, nyc, nxc, K, cs_key, omega,
     W, R = 2 * K + 3, 2 * K + 2
     dtype = jnp.dtype(dtype_str)
     nP = (nz + 1) // 2
+    off = (1 - lo_z) // 2  # newest coarse plane needed at step g is g+off
     kernel = functools.partial(
         _up_smooth_kernel_p2, nz=nz, ny=ny, nx=nx, nzc=nzc, nyc=nyc,
         nxc=nxc, K=K, W=W, R=R, cs=cs, omega=omega, wz=wz, lo_z=lo_z,
+        off=off,
     )
     plane = ny * _round_up(nx, 128) * dtype.itemsize
     vmem = (W + R + 3 + 18) * plane \
@@ -405,10 +421,10 @@ def _build_up_smooth_3d_p2(nz, ny, nx, nzc, nyc, nxc, K, cs_key, omega,
             pl.BlockSpec((2, ny, nx), lambda g: (jnp.minimum(g, nP - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nyc, nxc),
-                         lambda g: (jnp.minimum(g, nzc - 1), 0, 0),
+                         lambda g: (jnp.clip(g + off - 1, 0, nzc - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nyc, nxc),
-                         lambda g: (jnp.minimum(g + 1, nzc - 1), 0, 0),
+                         lambda g: (jnp.clip(g + off, 0, nzc - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ny, nyc), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nx, nxc), lambda g: (0, 0), memory_space=pltpu.VMEM),

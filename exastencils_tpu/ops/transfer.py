@@ -74,6 +74,34 @@ def prolongation_matrix_1d(
     return M
 
 
+def prolongation_matrix_full_ghosted(
+    kernel: Sequence[float],
+    lo: int,
+    total_in: int,
+    total_out: int,
+    ghost: int,
+) -> np.ndarray:
+    """Prolongation over the ENTIRE halo-extended fragment: fine ghosted
+    row j' takes kernel[k] from coarse ghosted row (j' + g - lo - k)/2
+    (parity-matching), with no zeroed ghost rows — ghost-row values
+    reproduce the neighbor fragment's interior prolongation bit for bit
+    (aligned even offsets make the matrix shard-independent).  Used by
+    the sharded fused up-leg kernel, where halo corrections must stay
+    neighbor-consistent for the in-kernel post-smoothing to be valid;
+    the unfused path's prolongation_matrix_1d (zero ghost rows +
+    post-exchange) is NOT equivalent inside one fused pass."""
+    M = np.zeros((total_out, total_in))
+    for j in range(total_out):
+        for k, w in enumerate(kernel):
+            num = j + ghost - lo - k
+            if num % 2:
+                continue
+            c = num // 2
+            if 0 <= c < total_in:
+                M[j, c] += w
+    return M
+
+
 def separable_kernels(ig: IntergridStencil) -> Tuple[np.ndarray, ...]:
     """Per-dim 1D kernels of the (tensor-product) weight window.  Uses
     the stored factorization when present, else recovers it by rank-1

@@ -303,6 +303,29 @@ def generate_solver(
         down_leg_fn = up_leg_fn = None
         if lvl > k.minLevel:
             restrict_fn, prolong_fn = backend.transfer_fns(lvl, restrict_op, prolong_op)
+            if (
+                k.tpu_use_pallas
+                and backend.is_sharded
+                and nd == 3
+                and num_colors == 2
+                and smoother_kind in ("RBGS", "GaussSeidel", "GS")
+                and hasattr(h, "topo")
+                and hasattr(backend.handle(lvl - 1), "topo")
+            ):
+                # whole-leg fusion survives distribution: one wide halo
+                # exchange, then the streaming kernel runs the entire
+                # leg per fragment (VERDICT r4: the sharded path ran at
+                # 54% of dense because legs unfused)
+                from exastencils_tpu.ops.pallas import make_sharded_fused_legs_3d
+
+                down_leg_fn, up_leg_fn = make_sharded_fused_legs_3d(
+                    A, u, lvl, h.topo, h.local_cells,
+                    backend.handle(lvl - 1).local_cells,
+                    restrict_op, prolong_op, omega,
+                    k.solver_smoother_numPre, k.solver_smoother_numPost,
+                    num_colors,
+                    itemsize=jnp.dtype(k.real_dtype).itemsize,
+                )
             if k.tpu_use_pallas and not backend.is_sharded and nd == 3:
                 from exastencils_tpu.ops.pallas import (
                     make_fused_legs_3d,

@@ -36,7 +36,11 @@ def test_sharded_fused_smoother_matches_dense(monkeypatch):
     # the wide-halo fused smoother must actually be selected
     top = sharded.gen.mg.levels[sharded.knowledge.maxLevel]
     assert top.smooth_n is not None, "sharded Pallas smoother not selected"
-    assert sharded.backend.topo.ghost >= 6
+    # whole-leg fusion must engage on the sharded path too (VERDICT r4
+    # weak #2: legs unfused the moment a run was distributed)
+    assert top.down_leg_fn is not None, "sharded down leg not selected"
+    assert top.up_leg_fn is not None, "sharded up leg not selected"
+    assert sharded.backend.topo.ghost >= 8
     _, shard_lines, s0, sN, sit = sharded.solve(max_its=12,
                                                 target_res_reduction=1e-10)
 
