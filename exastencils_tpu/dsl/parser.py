@@ -651,6 +651,9 @@ class L4Parser:
                     loop.on_boundary = True
             elif ts.accept("keyword", "sequentially"):
                 loop.sequentially = True
+            elif ts.accept("keyword", "novect"):
+                pass  # vectorization hint (L4_Parser.scala:295) — XLA's
+                # call; semantics unchanged
             elif ts.accept("keyword", "where"):
                 loop.condition = self.parse_expr()
             elif ts.accept("keyword", "starting"):

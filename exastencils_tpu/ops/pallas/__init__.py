@@ -83,10 +83,13 @@ def make_sharded_fused_smoother_3d(
     local_shape = tuple(topo.local_shape(tuple(local_cells)))
     if not pallas_applicable_3d(local_shape, A.offsets, A.coefs):
         return None
-    g = topo.ghost
-    if g < 2:
+    gs = topo.ghosts
+    sharded = any(p > 1 for p in topo.P)
+    if sharded and topo.ghost < 2:
         return None
-    per_block = g // 2
+    # per exchange: g//2 iterations before halo staleness reaches the
+    # dup planes; with no sharded dim there is no staleness at all
+    per_block = (topo.ghost // 2) if sharded else None
     interp = _interpret_mode()
     offsets, coefs = A.offsets, A.coefs
     cells = tuple(local_cells)
@@ -94,13 +97,13 @@ def make_sharded_fused_smoother_3d(
     def smooth_n(n, sol, rhs):
         ex = []
         for d in range(3):
-            ex.append(jnp.where(topo.is_lo_boundary(d), g, -1))
-            ex.append(jnp.where(topo.is_hi_boundary(d), g + cells[d], -1))
+            ex.append(jnp.where(topo.is_lo_boundary(d), gs[d], -1))
+            ex.append(jnp.where(topo.is_hi_boundary(d), gs[d] + cells[d], -1))
         excl = jnp.stack([jnp.asarray(v, jnp.int32) for v in ex])
         rhsx = topo.exchange(rhs, cells)
         done = 0
         while done < n:
-            k = min(per_block, n - done)
+            k = (n - done) if per_block is None else min(per_block, n - done)
             sol = topo.exchange(sol, cells)
             sol = rbgs_fused_3d(sol, rhsx, offsets, coefs, omega, k,
                                 interpret=interp, excl=excl)
@@ -152,8 +155,11 @@ def make_sharded_fused_legs_3d(
         return None, None
     if not isinstance(field.bc_at(level), DirichletBC):
         return None, None
-    g = topo.ghost
-    if g < max(2 * n_pre + 2, 2 * n_post + 1):
+    gs = topo.ghosts
+    sharded = any(p > 1 for p in topo.P)
+    # staleness budget applies along sharded dims only (unsharded dims
+    # carry no halo: their array edge is the physical boundary)
+    if sharded and topo.ghost < max(2 * n_pre + 2, 2 * n_post + 1):
         return None, None
     local_shape = tuple(topo.local_shape(tuple(local_cells)))
     coarse_shape = tuple(topo.local_shape(tuple(coarse_local_cells)))
@@ -176,19 +182,20 @@ def make_sharded_fused_legs_3d(
     wz_p, lo_p = tuple(p_kern[0]), int(prolong_op.lo[0])
     if not _z_geometry_ok(lo_r, len(wz_r), lo_p, len(wz_p)):
         return None, None
-    off_p = (1 - (lo_p - g)) // 2
+    off_p = (1 - (lo_p - gs[0])) // 2
     if coarse_shape[0] < off_p + 2:
         return None, None  # coarse fragment too shallow for the ring
     ry, rx = (
         np.asarray(restriction_matrix_1d(
             r_kern[d], restrict_op.lo[d], coarse_local_cells[d] + 1,
-            local_shape[d], coarse_shape[d], ghost_in=g, ghost_out=g))
+            local_shape[d], coarse_shape[d], ghost_in=gs[d],
+            ghost_out=gs[d]))
         for d in (1, 2)
     )
     py, px = (
         np.asarray(prolongation_matrix_full_ghosted(
             p_kern[d], prolong_op.lo[d], coarse_shape[d], local_shape[d],
-            ghost=g))
+            ghost=gs[d]))
         for d in (1, 2)
     )
     interp = _interpret_mode()
@@ -203,8 +210,8 @@ def make_sharded_fused_legs_3d(
     def excl():
         ex = []
         for d in range(3):
-            ex.append(jnp.where(topo.is_lo_boundary(d), g, -1))
-            ex.append(jnp.where(topo.is_hi_boundary(d), g + cells[d], -1))
+            ex.append(jnp.where(topo.is_lo_boundary(d), gs[d], -1))
+            ex.append(jnp.where(topo.is_hi_boundary(d), gs[d] + cells[d], -1))
         return jnp.stack([jnp.asarray(v, jnp.int32) for v in ex])
 
     def down(sol, rhs):
@@ -212,14 +219,14 @@ def make_sharded_fused_legs_3d(
         solx = topo.exchange(sol, cells)
         return smooth_res_restrict_fused_3d_p2(
             solx, rhsx, cs_key, float(omega), int(n_pre), ry, rx,
-            wz_r, lo_r - g, coarse_shape, excl(), interp)
+            wz_r, lo_r - gs[0], coarse_shape, excl(), interp)
 
     def up(sol, sol_c, rhs):
         rhsx = topo.exchange(rhs, cells)
         solx = topo.exchange(sol, cells)
         return prolong_correct_smooth_fused_3d_p2(
             solx, sol_c, rhsx, cs_key, float(omega), int(n_post), py, px,
-            wz_p, lo_p - g, excl(), interp)
+            wz_p, lo_p - gs[0], excl(), interp)
 
     return down, up
 

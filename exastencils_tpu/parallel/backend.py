@@ -164,7 +164,7 @@ class ShardedLevelHandle:
 
     def bc_applier(self, field: Field, level: int) -> Callable:
         bc = field.bc_at(level)
-        topo, g = self.topo, self.topo.ghost
+        topo, gs = self.topo, self.topo.ghosts
         nd = topo.ndim
         shape = self.local_shape
 
@@ -182,9 +182,11 @@ class ShardedLevelHandle:
                     vals = jnp.asarray(value, arr.dtype)
                 for d in range(nd):
                     i = lax.broadcasted_iota(jnp.int32, shape, d)
-                    lo_plane = jnp.logical_and(i == g, topo.is_lo_boundary(d))
+                    lo_plane = jnp.logical_and(
+                        i == gs[d], topo.is_lo_boundary(d))
                     hi_plane = jnp.logical_and(
-                        i == g + self.local_cells[d], topo.is_hi_boundary(d)
+                        i == gs[d] + self.local_cells[d],
+                        topo.is_hi_boundary(d)
                     )
                     arr = jnp.where(jnp.logical_or(lo_plane, hi_plane), vals, arr)
                 return arr
@@ -198,8 +200,8 @@ class ShardedLevelHandle:
                 # boundary plane from interior neighbors along the normal
                 for d in range(nd):
                     i = lax.broadcasted_iota(jnp.int32, shape, d)
-                    lo = g
-                    hi = g + self.local_cells[d]
+                    lo = gs[d]
+                    hi = gs[d] + self.local_cells[d]
                     if order == 1:
                         lo_val = jnp.roll(arr, -1, axis=d)
                         hi_val = jnp.roll(arr, 1, axis=d)
@@ -329,11 +331,13 @@ class ShardedBackend:
         all-reduce; the crossover level is tiny by construction)."""
         h = self.handles[level]
         topo = self.topo
-        g, nd = topo.ghost, topo.ndim
+        gs, nd = topo.ghosts, topo.ndim
         S = h.grid.shape_of(NODE)
         owned = topo.owned_mask(h.local_shape, h.local_cells)
         xo = jnp.where(owned, x, 0)
-        block = xo[tuple(slice(g, g + n + 1) for n in h.local_cells)]
+        block = xo[tuple(
+            slice(g, g + n + 1) for g, n in zip(gs, h.local_cells)
+        )]
         starts = tuple(
             topo.axis_index(d) * h.local_cells[d] for d in range(nd)
         )
@@ -347,8 +351,8 @@ class ShardedBackend:
         filled from the global data; physical-boundary ghosts zero)."""
         h = self.handles[level]
         topo = self.topo
-        g, nd = topo.ghost, topo.ndim
-        xp = jnp.pad(x_global, g)
+        gs, nd = topo.ghosts, topo.ndim
+        xp = jnp.pad(x_global, tuple((g, g) for g in gs))
         starts = tuple(
             topo.axis_index(d) * h.local_cells[d] for d in range(nd)
         )
@@ -394,7 +398,7 @@ class ShardedBackend:
                 "replicated fine level above sharded coarse level: the "
                 "replication threshold must be monotone toward coarse levels"
             )
-        g = self.topo.ghost
+        gs = self.topo.ghosts
         nd = self.topo.ndim
 
         from exastencils_tpu.ops.transfer import (
@@ -410,7 +414,7 @@ class ShardedBackend:
                 restriction_matrix_1d(
                     r_kern[d], restrict_op.lo[d],
                     ch.local_cells[d] + 1, fh.local_shape[d], ch.local_shape[d],
-                    ghost_in=g, ghost_out=g,
+                    ghost_in=gs[d], ghost_out=gs[d],
                 )
             )
             for d in range(nd)
@@ -420,7 +424,7 @@ class ShardedBackend:
                 prolongation_matrix_1d(
                     p_kern[d], prolong_op.lo[d],
                     fh.local_cells[d] + 1, ch.local_shape[d], fh.local_shape[d],
-                    ghost_in=g, ghost_out=g,
+                    ghost_in=gs[d], ghost_out=gs[d],
                 )
             )
             for d in range(nd)

@@ -49,16 +49,27 @@ class ShardTopology:
     def ndim(self) -> int:
         return len(self.P)
 
+    @property
+    def ghosts(self) -> Tuple[int, ...]:
+        """Per-dim halo width: `ghost` along sharded dims, 0 along
+        unsharded ones — an unsharded dim's array edge IS the physical
+        boundary, and padding it would only waste memory and bandwidth
+        (the reference sizes ghost layers per communication need,
+        field/ir/IR_FieldLayout.scala:51-73)."""
+        return tuple(self.ghost if p > 1 else 0 for p in self.P)
+
     # ---------------- local layout (node-centered) ----------------
     def local_shape(self, local_cells: Tuple[int, ...]) -> Tuple[int, ...]:
-        """n + 1 + 2g entries per dim: [ghost | dup | inner | dup | ghost]."""
-        return tuple(n + 1 + 2 * self.ghost for n in local_cells)
+        """n + 1 + 2g_d entries per dim: [ghost | dup | inner | dup | ghost]."""
+        return tuple(
+            n + 1 + 2 * g for n, g in zip(local_cells, self.ghosts)
+        )
 
-    def node_lo(self) -> int:
-        return self.ghost
+    def node_lo(self, d: int) -> int:
+        return self.ghosts[d]
 
-    def node_hi(self, n: int) -> int:
-        return self.ghost + n  # inclusive index of dup-right / boundary node
+    def node_hi(self, d: int, n: int) -> int:
+        return self.ghosts[d] + n  # inclusive dup-right / boundary node
 
     # ---------------- mesh queries (inside shard_map) ----------------
     def axis_index(self, d: int):
@@ -190,11 +201,11 @@ class ShardTopology:
         """True on the dup planes of sharded dims — the only points whose
         radius-1 stencil reads ghost data (the 'boundary shell' of the
         interior/boundary loop split)."""
-        g = self.ghost
         m = None
         for d in range(self.ndim):
             if self.P[d] == 1:
                 continue
+            g = self.ghosts[d]
             i = lax.broadcasted_iota(jnp.int32, shape, d)
             mm = jnp.logical_or(i == g, i == g + local_cells[d])
             m = mm if m is None else jnp.logical_or(m, mm)
@@ -204,17 +215,17 @@ class ShardTopology:
     def global_index_1d(self, d: int, size: int, local_cells: Tuple[int, ...]):
         """Global node index for each local entry along d (ghosts included,
         may be negative / beyond at boundaries)."""
-        base = self.axis_index(d) * local_cells[d] - self.ghost
+        base = self.axis_index(d) * local_cells[d] - self.ghosts[d]
         idx = lax.broadcasted_iota(jnp.int32, (size,), 0) + base
         return idx
 
     def owned_mask(self, shape: Tuple[int, ...], local_cells: Tuple[int, ...]):
         """True where this shard owns the DOF (each global node exactly
         once): nodes [g+1 .. g+n], plus g on physical lo boundary."""
-        g = self.ghost
         nd = self.ndim
         m = None
         for d in range(nd):
+            g = self.ghosts[d]
             n = local_cells[d]
             i = lax.broadcasted_iota(jnp.int32, shape, d)
             own = jnp.logical_and(i >= g + 1, i <= g + n)
@@ -227,7 +238,8 @@ class ShardTopology:
     def index_offsets(self, local_cells: Tuple[int, ...]):
         """Global-minus-local index offset per dim (for color parity)."""
         return tuple(
-            self.axis_index(d) * local_cells[d] - self.ghost for d in range(self.ndim)
+            self.axis_index(d) * local_cells[d] - self.ghosts[d]
+            for d in range(self.ndim)
         )
 
     def local_coords(self, grid, local_cells: Tuple[int, ...], shape: Tuple[int, ...]):
@@ -272,7 +284,7 @@ def dense_to_fragments(dense: np.ndarray, topo: ShardTopology, local_cells) -> n
     """Scatter a dense global node array ((N_d+1) per dim) into the
     stacked representation (P_d * (n_d+1+2g) per dim) with overlapping
     dup planes and zero ghosts (test/IO utility)."""
-    g = topo.ghost
+    gs = topo.ghosts
     nd = topo.ndim
     dense = np.asarray(dense)
     loc = topo.local_shape(tuple(local_cells))
@@ -282,7 +294,9 @@ def dense_to_fragments(dense: np.ndarray, topo: ShardTopology, local_cells) -> n
         src = tuple(
             slice(f * n, f * n + n + 1) for f, n in zip(fidx, local_cells)
         )
-        block[tuple(slice(g, g + n + 1) for n in local_cells)] = dense[src]
+        block[tuple(
+            slice(g, g + n + 1) for g, n in zip(gs, local_cells)
+        )] = dense[src]
         # fill ghosts from dense where interior (consistent with exchange)
         dst = tuple(slice(f * t, (f + 1) * t) for f, t in zip(fidx, loc))
         for d in range(nd):
@@ -293,12 +307,15 @@ def dense_to_fragments(dense: np.ndarray, topo: ShardTopology, local_cells) -> n
 
 def fragments_to_dense(stacked: np.ndarray, topo: ShardTopology, local_cells) -> np.ndarray:
     """Gather owned entries back into the dense global node array."""
-    g = topo.ghost
+    gs = topo.ghosts
     loc = topo.local_shape(tuple(local_cells))
     shape = tuple(p * n + 1 for p, n in zip(topo.P, local_cells))
     dense = np.zeros(shape, stacked.dtype)
     for fidx in np.ndindex(*topo.P):
-        src = tuple(slice(f * t + g, f * t + g + n + 1) for f, t, n in zip(fidx, loc, local_cells))
+        src = tuple(
+            slice(f * t + g, f * t + g + n + 1)
+            for f, t, n, g in zip(fidx, loc, local_cells, gs)
+        )
         dst = tuple(slice(f * n, f * n + n + 1) for f, n in zip(fidx, local_cells))
         dense[dst] = np.asarray(stacked[src])
     return dense

@@ -109,39 +109,41 @@ def smoother_traffic_bytes(ndim: int, dtype_bytes: int = 4, colors: int = 2) -> 
 
 
 # ----------------------------------------------------------------------
-# Where the fused-roofline gap goes (round-4 audit, VERDICT r3 item 3)
+# Where the fused-roofline gap goes — round-5 audit (supersedes the
+# round-4 "VPU-compute-bound" analysis, which measurement REFUTED)
 #
-# Measured: 6.6 GLUP/s at 512^3 f32 on v5e = 23% of the fused-traffic
-# roofline (28.7 GLUP/s).  The gap is NOT HBM revisiting — it is VPU
-# compute.  Op count per whole-leg pass with K=3 RBGS:
+# All numbers: 513^3 f32, K=3 RBGS, device-side chained timing (20
+# iterations inside one fori_loop — per-call dispatch through the axon
+# tunnel adds ~2.3 ms and contaminated earlier per-call micro-timings).
 #
-#   per half-sweep update (one color):
-#     star apply  : 7 mul + 6 add               = 13 VPU ops (7 fused)
-#     correction  : (rhs - Au) * (w/diag) + sol =  3 ops
-#     parity mask : 2 iota + add + mod + cmp    ~  5 ops
-#     select      : where                        =  1 op
-#     boundary    : iota-based interior mask    ~  3 ops (shared)
-#   ~> 22 ops/point/half-sweep; K=3 two-color legs run 6 half-sweeps
-#      per point per leg, plus residual+transfer work on the down leg.
+#   measured stream triad (3-array pass)   : 4.4 ms  -> ~356 GB/s
+#     (512^3 aligned: 419 GB/s; flat-2D: 417; padded x=640: same WALL
+#      time as 513 -> row padding buys nothing; big aligned 2D ~0.5-1GB
+#      arrays: up to ~600 GB/s.  The 819 GB/s v5e SPEC rate is NOT
+#      attainable in this environment at these shapes.)
+#   rbgs fused kernel, 6 half-sweeps/pass  : 7.1 ms  (1.6 GB -> 228 GB/s
+#      effective = 64% of the measured stream rate)
+#   K=0 pipeline floor (ingest+emit only)  : ~5.6 ms — the windowed
+#      z-plane pipeline itself, NOT the update math, dominates.
 #
-#   512^3 * ~140 ops/cycle ~ 19 Gop; v5e VPU ~ 4 ALU * 8x128 lanes *
-#   0.94 GHz ~ 3.9 Gop/s/1e3 => ~12 ms compute vs ~4 ms HBM traffic
-#   (3.3 GB/cycle at 819 GB/s).  The kernel is therefore COMPUTE-bound
-#   at ~60% VPU utilization; measured 20.4 ms/cycle is consistent with
-#   compute + imperfect overlap of the z-plane pipeline.
+# Ablations (each measured on the real chip, wall-clock):
+#   - remove parity-mask arithmetic entirely      : ~0  (Mosaic fuses it)
+#   - remove all rolls (neighbor shifts)          : NEGATIVE (slower!)
+#   - bf16 storage+compute                        : NEGATIVE (16 ms)
+#   - x=512 grid (no lane padding)                : ~6%
+#   - W=16 power-of-two window                    : ~0
+#   - plane-PAIR steps w/ static parity (v2)      : +5% (adopted,
+#       stream3d_pair.py; also halves DMA descriptor count)
+#   - packed red-black storage (half-width R/B
+#     arrays, no wasted half-plane compute)       : NEGATIVE (11.6 vs
+#       10.7 ms) — conclusively disproving the compute-bound theory
+#   - MXU banded-matmul offload (round-4)         : NEGATIVE at r=1
 #
-# Levers, in order of expected value (none change golden semantics):
-#   1. [MEASURED, REJECTED] hoisting the parity mask out of the K-loop
-#      (all of one grid step's updates share parity (p-1) mod 2) was
-#      tried in round 4 and REGRESSED 20.5 -> 22.1 ms/cycle: keeping the
-#      ny x nx mask live across the update loop costs more (VMEM value
-#      lifetime / lost fusion into the select) than recomputing the
-#      3-op parity term per update.  Mosaic fuses the inline form.
-#   2. fewer half-sweep passes over the window per plane step by
-#      updating two z-planes per grid step (halves per-step overhead);
-#   3. MXU offload of the y/x neighbor sums as banded matmuls — only
-#      ~2.3% MXU density for radius-1 stencils, roughly VPU-equal on
-#      v5e, NOT a win until wider stencils/batched RHS;
-#   4. bf16 storage with f32 compute halves HBM bytes but the kernel is
-#      compute-bound, so gains appear only after (2).
+# Conclusion: the binding constraints are (a) the MEASURED achievable
+# HBM bandwidth (~45% of spec through this tunneled single-chip
+# environment) and (b) ~36% pipeline overhead of the streaming window
+# schedule.  bench.py therefore reports the measured stream rate and a
+# measured-bandwidth fused roofline (vs_fused_roofline_measured) next
+# to the spec-based number; the remaining honest levers are pipeline-
+# level (deeper DMA batching), not arithmetic.
 # ----------------------------------------------------------------------

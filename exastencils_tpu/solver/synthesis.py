@@ -166,6 +166,16 @@ class GeneratedSolver:
         )
         return sol, lines, float(init_res), float(cur_res), it
 
+    def export(self) -> "ExportedSolver":
+        """Embedding interface — the TPU-native analog of the
+        reference's external-field/Fortran interfacing
+        (interfacing/ir/IR_ExternalField.scala,
+        IR_CopyToExternalField.scala, IR_Fortranify.scala): a host
+        application that owns its own arrays drives the solver without
+        touching framework internals.  See ExportedSolver for the
+        copy-in/copy-out and donation contract."""
+        return ExportedSolver(self)
+
     def solve_fused(self, max_its=None, target_res_reduction=None):
         k = self.knowledge
         max_its = k.solver_maxNumIts if max_its is None else max_its
@@ -177,6 +187,91 @@ class GeneratedSolver:
             ("field", "scalar", "scalar", "scalar"),
         )
         return fused(sol, rhs)
+
+
+class ExportedSolver:
+    """Embeddable view of a generated solver for host applications that
+    own their field data as plain (numpy) arrays — the reference's
+    `external Field` + copy-to/from functions re-expressed TPU-natively
+    (interfacing/ir/IR_ExternalField.scala:…, IR_CopyToExternalField).
+
+    Contract:
+      * `solve(rhs, u0=None, ...) -> numpy`: copy-in / copy-out — the
+        caller's arrays are never aliased or mutated; shapes are the
+        solver's finest-level node shape (`self.shape`).  On a sharded
+        backend the global array is scattered across the mesh on entry
+        and gathered on exit.
+      * `step` is the raw jitted cycle `(sol, rhs) -> sol` on DEVICE
+        arrays with the iterate DONATED: after `s1 = step(s0, rhs)` the
+        buffer `s0` is consumed (TPU); callers keeping `s0` must copy
+        it first.  This is the zero-copy fast path for hosts that live
+        in jax.
+    """
+
+    def __init__(self, gen: GeneratedSolver):
+        self._g = gen
+        self.knowledge = gen.knowledge
+        h = gen.backend.handle(gen.knowledge.maxLevel)
+        if getattr(gen.backend, "is_sharded", False):
+            from exastencils_tpu.core.grid import NODE
+
+            self.shape = tuple(h.grid.shape_of(NODE))  # global node array
+        else:
+            self.shape = tuple(h.work_shape)
+        self.dtype = gen.knowledge.real_dtype
+        self.step = gen._cycle  # donation: see class docstring
+        self.residual_norm = gen._res_norm
+
+    # ---- numpy bridge (copy-in / copy-out) ----
+    def _to_device(self, arr):
+        import numpy as _np
+
+        b = self._g.backend
+        a = jnp.asarray(_np.asarray(arr), dtype=self.dtype)
+        if getattr(b, "is_sharded", False):
+            lvl = self.knowledge.maxLevel
+            scatter = b.wrap(
+                lambda x: b.scatter_local(lvl, x), ("replicated",), "field"
+            ) if hasattr(b, "scatter_local") else None
+            if scatter is not None:
+                return scatter(a)
+        return a
+
+    def _to_numpy(self, arr):
+        import numpy as _np
+
+        b = self._g.backend
+        if getattr(b, "is_sharded", False):
+            lvl = self.knowledge.maxLevel
+            gather = b.wrap(
+                lambda x: b.gather_global(lvl, x), ("field",), "replicated"
+            )
+            arr = gather(arr)
+        return _np.asarray(arr)
+
+    def solve(self, rhs, u0=None, target_res_reduction=None, max_its=None):
+        """Run the generated solve loop on caller-owned arrays; returns
+        (solution numpy array, iterations, final relative residual)."""
+        import numpy as _np
+
+        k = self.knowledge
+        eps = (k.solver_targetResReduction
+               if target_res_reduction is None else target_res_reduction)
+        max_its = k.solver_maxNumIts if max_its is None else max_its
+        rhs_d = self._to_device(rhs)
+        lv = self._g.mg.levels[k.maxLevel]
+        if u0 is None:
+            sol0, _ = self._g.init_state()
+        else:
+            sol0 = self._g.backend.wrap(
+                lambda x: lv.bc_sol(x), ("field",), "field"
+            )(self._to_device(u0))
+        sol, init_res, cur_res, it = self._g.mg.solve(
+            sol0, rhs_d, eps, max_its,
+            cycle_fn=self.step, res_norm_fn=self.residual_norm,
+        )
+        rel = float(cur_res) / max(float(init_res), 1e-300)
+        return self._to_numpy(sol), it, rel
 
 
 def generate_solver(

@@ -7,10 +7,11 @@ stencil algebra `alpha^2*Laplace + gradContribution`) matches digit for
 digit.  ExaStokes_2D (staggered Vanka with 9-coloring, FunctionTemplate
 generics, function BCs with materialized lid ghosts) reproduces the
 iteration structure and initial residuals exactly and tracks the golden
-residual path within documented bounds — the remaining per-line
-deviation (<~25%) stems from the batched local-solve arithmetic
-(jnp.linalg LU vs the reference's compile-time elimination) whose
-differences are amplified through the multiplicative 9-color sweep."""
+residual path within a measured, gate-enforced band (worst observed
+per-line factor 1.39x, on the ~1e-9 tail lines) — the deviation stems
+from the batched local-solve arithmetic (jnp.linalg LU vs the
+reference's compile-time elimination) whose differences are amplified
+through the multiplicative 9-color sweep."""
 
 import os
 
@@ -52,6 +53,8 @@ def test_exastokes2d_tracks_golden(reference_root):
             assert a == b, f"line {i}"
             continue
         va, vb = float(a), float(b)
-        assert vb / 4 <= va <= vb * 4, f"line {i}: {a} vs {b}"
+        # measured worst deviation is 1.39x (round-5 audit); the gate
+        # leaves only noise headroom above it
+        assert vb / 1.5 <= va <= vb * 1.5, f"line {i}: {a} vs {b}"
     # convergence end state: same magnitude as the golden's final lines
     assert float(lines[-1]) < 1e-8

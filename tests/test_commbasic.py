@@ -32,7 +32,9 @@ from exastencils_tpu.dsl.interpreter import L4Executable
 from exastencils_tpu.dsl.parser import parse_l4
 from exastencils_tpu.parallel.dslsharding import build_dsl_mesh
 
-GOLDEN_CASES = ["2D", "PureMPI", "ComplexNumbers", "Summarize"]
+GOLDEN_CASES = ["2D", "PureMPI", "ComplexNumbers", "Summarize",
+                # 27-fragment 192^3 multigrid (~2 min CPU f64)
+                "PureOMP"]
 
 
 def _run(base, mesh=None, shard=True, capture_hlo=False, decomp=None):

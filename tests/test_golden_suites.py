@@ -40,6 +40,37 @@ CASES = [
     ("Opts", ("seq_all", "tempBlock", "seq")),
 ]
 
+
+def _opts_exa(kn: str) -> str:
+    """CI pairing (.gitlab-ci.yml:385-523): poly/all run the
+    tempBlock program, everything else the base program; _par and _flt
+    suffixes select the parallel/float source variants."""
+    prog = "tempBlock" if kn.rsplit("_", 1)[-1] in ("poly", "all") else "base"
+    par = kn.startswith("par")
+    flt = "_float" in kn or "__float" in kn
+    if prog == "tempBlock":
+        return "tempBlock_par" if par else "tempBlock"
+    return "base" + ("_par" if par else "") + ("_flt" if flt else "")
+
+
+def _opts_results(kn: str) -> str:
+    pre = "par" if kn.startswith("par") else "seq"
+    return f"{pre}__float" if "float" in kn else pre
+
+
+# the FULL 26-variant Opts matrix (VERDICT r5 item 4); the two entries
+# above stay in the quick tier, the rest are slow (64^3 f64 / 513^3
+# global 3D multigrid on the CPU test backend)
+OPTS_ALL = [
+    f"{pre}{var}"
+    for pre in ("seq", "par")
+    for var in ("_naive", "_addrPre", "_poly", "_unroll", "_unrolli",
+                "_vect", "_vectAl", "_vectAlAl", "_all",
+                "__float_naive", "__float_vect", "__float_vectAl",
+                "__float_vectAlAl")
+]
+OPTS_SLOW = [kn for kn in OPTS_ALL if kn not in ("seq_naive", "seq_all")]
+
 # 3D variants (64^3 f64 multigrid on the CPU test backend: minutes each)
 CASES_3D = [
     ("BC", "3D_Polynomial"),
@@ -91,3 +122,14 @@ def test_suite_golden(suite, name, reference_root, tmp_path):
                          ids=[f"{s}/{n}" for s, n in CASES_3D])
 def test_suite_golden_3d(suite, name, reference_root, tmp_path):
     _run_golden(suite, name, reference_root, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kn", OPTS_SLOW)
+def test_opts_matrix_golden(kn, reference_root, tmp_path):
+    """Every remaining Opts knowledge variant against its shared golden
+    (optimization knobs must not change semantics; the vect/unroll/poly/
+    addrPre flags are accepted compat no-ops here — XLA owns those
+    passes — so each variant must still reproduce the .results)."""
+    _run_golden("Opts", (kn, _opts_exa(kn), _opts_results(kn)),
+                reference_root, tmp_path)
