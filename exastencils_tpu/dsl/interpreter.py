@@ -1096,6 +1096,14 @@ class L4Executable:
             if self._is_alias(self.globals[name]):
                 return self._eval_alias(self.globals[name], e, fr, loop)
             return self._maybe_component(self.globals[name], e, fr, loop)
+        if name == "mpiRank":
+            # generated MPI IV (parallelization/api/mpi/MPI_IVs.scala);
+            # the interpreter executes the whole domain in one process,
+            # so the program observes rank 0 (single-process semantics,
+            # like running the reference binary without mpirun)
+            return 0
+        if name == "mpiSize":
+            return 1
         raise ValueError(f"unknown identifier {name!r}")
 
     def _maybe_component(self, val, e: N.Access, fr, loop):
@@ -1910,11 +1918,22 @@ class L4Executable:
 
         op, backend = name.split("_", 1)
         path = str(self.eval_expr(e.args[0], fr, loop))
-        # hdf5/nc carry (path, dataset/var, field, ...); others (path, field, ...)
-        if backend in ("hdf5", "nc"):
+        # hdf5/nc carry (path, dataset/var, field, ...) in the IOTest
+        # form, but the printField visualization form passes the field
+        # directly: (path, field, useCanonicalLayout)
+        # (Examples/IO/2D_PrintField_NonUniform_AA.exa4:134-164)
+        if backend in ("hdf5", "nc") and not isinstance(e.args[1], N.Access):
             dataset = str(self.eval_expr(e.args[1], fr, loop))
             acc = e.args[2]
             extra = (dataset,)
+        elif backend in ("hdf5", "nc") and isinstance(e.args[1], N.Access) \
+                and e.args[1].name not in self.fields:
+            dataset = str(self.eval_expr(e.args[1], fr, loop))
+            acc = e.args[2]
+            extra = (dataset,)
+        elif backend in ("hdf5", "nc"):
+            acc = e.args[1]
+            extra = ("field",)  # default dataset name
         else:
             acc = e.args[1]
             extra = ()

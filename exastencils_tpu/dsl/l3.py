@@ -417,31 +417,91 @@ def _flatten_terms(e: N.Expr, sign: float = 1.0):
     return [(sign, e)]
 
 
+def _contains_operator(x, operators: set) -> bool:
+    if isinstance(x, N.Access):
+        return x.name in operators
+    if isinstance(x, N.BinOp):
+        return _contains_operator(x.lhs, operators) or _contains_operator(
+            x.rhs, operators)
+    if isinstance(x, N.UnOp):
+        return _contains_operator(x.operand, operators)
+    return False
+
+
 def analyze_equation(
     eq: EquationDecl, operators: set, fields: set
-) -> Tuple[str, List[EqTerm]]:
-    """Scalar analysis: lhs must be a sum of `Op * field` products, rhs a
-    field access (reference L3_EquationCollection normalization).  Returns
-    (rhs field, terms)."""
-    if not isinstance(eq.rhs, N.Access) or eq.rhs.name not in fields:
-        raise NotImplementedError(f"equation {eq.name}: rhs must be a field access")
-    terms = []
-    for sign, t in _flatten_terms(eq.lhs):
-        if (
-            isinstance(t, N.BinOp) and t.op == "*"
-            and isinstance(t.lhs, N.Access) and t.lhs.name in operators
-            and isinstance(t.rhs, N.Access) and t.rhs.name in fields
-        ):
-            if sign != 1.0:
+) -> Tuple[Optional[str], List[EqTerm]]:
+    """Normalize an equation lhs into a sum of `[coef *] Op * field`
+    terms (reference L3_EquationCollection normalization).  Coefficient
+    factors may be arbitrary operator-free scalar expressions, including
+    field accesses (LinearElasticity: `(lambda+mu)*(dxx*u + dxy*v) +
+    lambda*Laplace*u`).  rhs is a field access or the literal 0
+    (returned as None — the generator synthesizes a zero gen_rhs)."""
+    if isinstance(eq.rhs, N.Access) and eq.rhs.name in fields:
+        rhs_name: Optional[str] = eq.rhs.name
+    elif isinstance(eq.rhs, N.Num) and float(eq.rhs.value) == 0.0:
+        rhs_name = None
+    else:
+        raise NotImplementedError(
+            f"equation {eq.name}: rhs must be a field access or 0")
+    terms: List[EqTerm] = []
+
+    def mul(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return N.BinOp("*", a, b)
+
+    def split_coef_op(x):
+        """x contains exactly one operator access: (coefExpr|None, op)."""
+        if isinstance(x, N.Access) and x.name in operators:
+            return None, x.name
+        if isinstance(x, N.BinOp) and x.op == "*":
+            if _contains_operator(x.lhs, operators):
+                c, op = split_coef_op(x.lhs)
+                return mul(c, x.rhs), op
+            if _contains_operator(x.rhs, operators):
+                c, op = split_coef_op(x.rhs)
+                return mul(x.lhs, c), op
+        raise NotImplementedError(
+            f"equation {eq.name}: cannot factor operator out of {x}")
+
+    def emit(coef, sign, opname, fieldname):
+        if sign != 1.0:
+            coef = mul(N.Num(-1.0), coef) if coef is not None else N.Num(-1.0)
+        terms.append(EqTerm(opname, fieldname, coef=coef))
+
+    def walk(x, sign, coef):
+        if isinstance(x, N.BinOp) and x.op in ("+", "-"):
+            walk(x.lhs, sign, coef)
+            walk(x.rhs, sign if x.op == "+" else -sign, coef)
+            return
+        if isinstance(x, N.UnOp) and x.op == "-":
+            walk(x.operand, -sign, coef)
+            return
+        if isinstance(x, N.BinOp) and x.op == "*":
+            lhs_has = _contains_operator(x.lhs, operators)
+            rhs_has = _contains_operator(x.rhs, operators)
+            if lhs_has and rhs_has:
                 raise NotImplementedError(
-                    f"equation {eq.name}: negative operator terms unsupported"
-                )
-            terms.append(EqTerm(t.lhs.name, t.rhs.name))
-        else:
-            raise NotImplementedError(
-                f"equation {eq.name}: term {t} is not `Operator * field`"
-            )
-    return eq.rhs.name, terms
+                    f"equation {eq.name}: operator-operator product {x}")
+            if rhs_has:  # coefficient * (operator expression)
+                walk(x.rhs, sign, mul(coef, x.lhs))
+                return
+            if lhs_has:
+                if isinstance(x.rhs, N.Access) and x.rhs.name in fields:
+                    c2, opname = split_coef_op(x.lhs)
+                    emit(mul(coef, c2), sign, opname, x.rhs.name)
+                    return
+                walk(x.lhs, sign, mul(coef, x.rhs))
+                return
+        raise NotImplementedError(
+            f"equation {eq.name}: term {x} is not `[coef *] Operator * field`"
+        )
+
+    walk(eq.lhs, 1.0, None)
+    return rhs_name, terms
 
 
 def _add_bc_applications(stmts: List[N.Stmt], bc_fields: set) -> List[N.Stmt]:

@@ -92,10 +92,13 @@ def _print_nontesting(args) -> N.Stmt:
 
 @dataclass
 class EqTerm:
-    """One `Operator * field` product on an equation lhs."""
+    """One `[coef *] Operator * field` product on an equation lhs; coef
+    is an optional scalar-expression factor (field accesses allowed —
+    LinearElasticity's `(lambda + mu) * (dxx * u)`)."""
 
     operator: str
     field: str
+    coef: object = None  # Optional[N.Expr]
 
 
 @dataclass
@@ -154,6 +157,34 @@ class SolverGenerator:
         self.cgs_restart_after = int(g("solver_cgs_restartAfter", 1000))
         self.silent = bool(g("solver_silent", False))
         self.ndim = knowledge.dimensionality
+        # coupled-through-rhs systems (BiHarmonic: `L*u == v` with v an
+        # unknown of the SAME solve): normalize the unknown onto the
+        # operator side with a dedicated gen_rhs per entry (reference
+        # L3_SolverForEqEntry equation preparation) — otherwise the
+        # restriction target `v@coarser` doubles as the other entry's
+        # coarse unknown, the coarse init re-zeroes it, and the coarse
+        # correction equation silently loses this entry's restricted
+        # residual (observed: BiHarmonic stalls at ~0.9/cycle)
+        unknowns = {e.unknown for e in spec.entries}
+        self._extra_stencils: List[N.StencilDecl] = []
+        self._gen_rhs_entries: List[EqEntry] = []
+        for e in spec.entries:
+            coupled = e.rhs in unknowns
+            if coupled:
+                ident = "gen_negIdentity"
+                if not self._extra_stencils:
+                    self._extra_stencils.append(N.StencilDecl(
+                        ident, None,
+                        [N.StencilOffsetEntry(
+                            [N.Num(0, True)] * self.ndim, num(-1.0))],
+                    ))
+                e.terms.append(EqTerm(ident, e.rhs))
+            if coupled or e.rhs is None:
+                # literal-zero rhs (LinearElasticity) also needs the
+                # dedicated field: coarser levels receive the restricted
+                # residual
+                e.rhs = f"gen_rhs{self._suffix(e)}"
+                self._gen_rhs_entries.append(e)
 
     # -------------------------------------------------- names
     def res_field(self, e: EqEntry) -> str:
@@ -165,6 +196,14 @@ class SolverGenerator:
     # -------------------------------------------------- declarations
     def field_decls(self) -> List[N.FieldDecl]:
         decls = []
+        for e in self._gen_rhs_entries:
+            # dedicated rhs of a coupled entry: zero at the finest
+            # (the normalized equation is `... - v == 0`), receives the
+            # restricted residual on coarser levels
+            decls.append(
+                N.FieldDecl(e.rhs, "global", f"__loc_{e.localization}__",
+                            bc=None, levels=None)
+            )
         for e in self.spec.entries:
             rf = self.res_field(e)
             decls.append(
@@ -226,7 +265,10 @@ class SolverGenerator:
         """rhs - sum(op * field)."""
         expr: N.Expr = acc(e.rhs, level)
         for t in e.terms:
-            expr = binop("-", expr, binop("*", acc(t.operator, level), acc(t.field, level)))
+            prod = binop("*", acc(t.operator, level), acc(t.field, level))
+            if t.coef is not None:
+                prod = binop("*", t.coef, prod)
+            expr = binop("-", expr, prod)
         return expr
 
     def _compute_residual(self, e: EqEntry, level=None) -> List[N.Stmt]:
@@ -251,10 +293,28 @@ class SolverGenerator:
         return N.FunctionDecl("gen_resNorm", N.LvlAll(), [], "Real", body)
 
     # -------------------------------------------------- smoother
+    def _diag_expr(self, e: EqEntry) -> N.Expr:
+        """Sum of coef*diag(op) over the unknown's own terms — the
+        point-diagonal of the (possibly multi-term) operator."""
+        parts = []
+        for t in e.terms:
+            if t.field != e.unknown:
+                continue
+            d = call("diag", acc(t.operator))
+            if t.coef is not None:
+                d = binop("*", t.coef, d)
+            parts.append(d)
+        if not parts:
+            raise ValueError(f"no diagonal term for unknown {e.unknown}")
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = binop("+", expr, p)
+        return expr
+
     def _smoother_update(self, e: EqEntry) -> N.Expr:
-        """damping / diag(op) * (rhs - op*u - couplings)."""
+        """damping / diag * (rhs - sum coef*op*field)."""
         upd = self._residual_expr(e)
-        dinv = binop("/", num(self.damping), call("diag", acc(e.main_operator)))
+        dinv = binop("/", num(self.damping), self._diag_expr(e))
         return binop("*", dinv, upd)
 
     def _color_expr(self) -> Optional[N.Expr]:
@@ -350,8 +410,10 @@ class SolverGenerator:
                 coarse_lhs: N.Expr = binop("*", acc(R), acc(rf))
                 for t in e.terms:
                     src = acc(t.field, _COARSER) if t.field != e.unknown else acc(appr, _COARSER)
-                    coarse_lhs = binop(
-                        "+", coarse_lhs, binop("*", acc(t.operator, _COARSER), src))
+                    prod = binop("*", acc(t.operator, _COARSER), src)
+                    if t.coef is not None:
+                        prod = binop("*", t.coef, prod)
+                    coarse_lhs = binop("+", coarse_lhs, prod)
                 body.append(loop_over(acc(e.rhs, _COARSER), [
                     assign(acc(e.rhs, _COARSER), "=", coarse_lhs)
                 ]))
@@ -462,6 +524,8 @@ class SolverGenerator:
             expr = None
             for t in e.terms:
                 term = binop("*", acc(t.operator), self._subst_vec(t.field, src_of))
+                if t.coef is not None:
+                    term = binop("*", t.coef, term)
                 expr = term if expr is None else binop("+", expr, term)
             out.append(N.Communicate(self._subst_vec(e.unknown, src_of)))
             out.append(loop_over(dst, [assign(dst, "=", expr)]))
@@ -797,7 +861,7 @@ class SolverGenerator:
     def generate(self) -> N.Program:
         prog = N.Program()
         prog.fields = self.field_decls()
-        prog.stencils = self.transfer_decls()
+        prog.stencils = self._extra_stencils + self.transfer_decls()
         prog.functions = [
             self._res_norm_fn(),
             self.cycle_fn(),
