@@ -897,7 +897,11 @@ class L4Executable:
             if e.name == "PI":
                 return math.pi
             if e.name in self.globals:
-                return self.globals[e.name]
+                v = self.globals[e.name]
+                if self._is_alias(v):
+                    # `Expr k = 40.0` global alias (Helmholtz)
+                    return self._eval_const(v[1], env)
+                return v
             raise ValueError(f"cannot evaluate {e.name!r} in constant context")
         if isinstance(e, N.Call):
             if e.name in _MATH_FNS:
@@ -1029,7 +1033,10 @@ class L4Executable:
                 else 0
             )
         if name.startswith("vf_"):
-            return self._eval_virtual_field(name, fr, loop)
+            val = self._eval_virtual_field(name, fr, loop)
+            if e.offset is not None and any(e.offset):
+                val = self._shift_vf(name, val, tuple(e.offset))
+            return val
         if name == "levels":
             return self._resolve_level(e.level, fr)
         if name in self.stencil_templates:
@@ -1190,6 +1197,39 @@ class L4Executable:
             slice(o + lo_pad[d], o + lo_pad[d] + shape[d]) for d, o in enumerate(off)
         )
         return arr[sl]
+
+    def _shift_vf(self, name: str, val, offset):
+        """Offset access on a virtual field (`vf_nodePos_x@[1,0]`,
+        LinearElasticity's width expressions): the value at index i+o
+        along the vf's own dimension.  Beyond the array the coordinate
+        continues with the end spacing (linear extrapolation — exact for
+        uniform grids; the reference evaluates virtual positions the
+        same way, grid/ir/IR_VF_NodePosition).  Offsets along other
+        dimensions do not change a per-dim coordinate."""
+        if not hasattr(val, "ndim") or val.ndim == 0:
+            return val  # scalar (uniform width): offset-invariant
+        suffix = name[-1]
+        if name[-2] != "_" or suffix not in "xyz012":
+            return val
+        d = "xyz".index(suffix) if suffix in "xyz" else int(suffix)
+        o = int(offset[d]) if d < len(offset) else 0
+        if o == 0 or d >= val.ndim or val.shape[d] == 1:
+            return val
+        n = val.shape[d]
+        idx = jnp.clip(jnp.arange(n) + o, 0, n - 1)
+        shifted = jnp.take(val, idx, axis=d)
+        bshape = [1] * val.ndim
+        bshape[d] = n
+        steps = jnp.arange(n).reshape(bshape)
+        if o > 0:
+            w = lax.index_in_dim(val, n - 1, d, keepdims=True) \
+                - lax.index_in_dim(val, n - 2, d, keepdims=True)
+            over = jnp.maximum(steps + o - (n - 1), 0)
+        else:
+            w = lax.index_in_dim(val, 0, d, keepdims=True) \
+                - lax.index_in_dim(val, 1, d, keepdims=True)
+            over = jnp.maximum(-(steps + o), 0)
+        return shifted + w * over.astype(shifted.dtype)
 
     def _eval_virtual_field(self, name: str, fr: Frame, loop):
         lvl = loop.level if loop is not None else fr.level
@@ -2187,6 +2227,14 @@ class L4Executable:
                     and all(self._stmt_stageable(x, level) for x in s.then_body)
                     and all(self._stmt_stageable(x, level) for x in s.else_body))
         if isinstance(s, N.RepeatTimes):
+            # large static repeats over field loops would UNROLL into the
+            # trace (a Smoother coarse-grid solver is `repeat 128 times`
+            # of full sweeps — LinearElasticity traced for minutes);
+            # leave them eager: each sweep replays one cached staged run
+            if (isinstance(s.count, N.Num) and float(s.count.value) > 24
+                    and any(isinstance(x, (N.LoopOverField, N.ColorWith))
+                            for x in s.body)):
+                return False
             return (self._expr_stageable(s.count, level)
                     and all(self._stmt_stageable(x, level) for x in s.body))
         if isinstance(s, (N.LoopOverFragments, N.ColorWith, N.RepeatWith,

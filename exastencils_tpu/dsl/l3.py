@@ -399,10 +399,11 @@ def parse_l3(src_or_path: str) -> L3Program:
 
 # ---------------------------------------------------------------- lowering
 
-def _loc_layout(prog: N.Program, loc: str) -> str:
-    name = f"__loc_{loc}__"
+def _loc_layout(prog: N.Program, loc: str, dtype: str = "Real") -> str:
+    key = "" if dtype == "Real" else         "_" + dtype.replace("<", "").replace(">", "").replace(" ", "")
+    name = f"__loc_{loc}{key}__"
     if not any(l.name == name for l in prog.layouts):
-        prog.layouts.append(N.LayoutDecl(name, "Real", loc, None))
+        prog.layouts.append(N.LayoutDecl(name, dtype, loc, None))
     return name
 
 
@@ -686,7 +687,7 @@ def lower_l3(l3: L3Program, knowledge, user_l4: Optional[N.Program] = None) -> N
     # so later declarations override earlier per-level bcs ---
     for name in order:
         info = resolved[name]
-        layout = _loc_layout(prog, info["loc"])
+        layout = _loc_layout(prog, info["loc"], info["dtype"])
         dom = info["domain"] or "global"
         for lvls in info["level_decls"] or [None]:
             prog.fields.append(
