@@ -4,15 +4,16 @@
 # cluster via Testing/tests1_all.sh — here: quick on every change, full
 # nightly).
 #
-#   ./ci.sh        quick tier: bytecode check + unit/golden tests (<5 min)
-#   ./ci.sh full   everything, including the slow golden/sharded suites
+#   ./ci.sh          quick tier: bytecode check + unit/golden tests (<7 min)
+#   ./ci.sh full     + the slow golden/sharded suites (~1 h)
+#   ./ci.sh nightly  + the huge 576^3 CommBasic goldens (~+40 min)
 set -euo pipefail
 cd "$(dirname "$0")"
 
 python -m compileall -q exastencils_tpu bench.py __graft_entry__.py
 
-if [[ "${1:-quick}" == "full" ]]; then
-    python -m pytest tests -q
-else
-    python -m pytest tests -q -m "not slow"
-fi
+case "${1:-quick}" in
+    nightly) python -m pytest tests -q ;;
+    full)    python -m pytest tests -q -m "not huge" ;;
+    *)       python -m pytest tests -q -m "not slow and not huge" ;;
+esac

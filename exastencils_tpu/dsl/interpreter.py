@@ -42,163 +42,34 @@ from exastencils_tpu.ops.transfer import (
 from exastencils_tpu.runtime.timers import TimerRegistry
 from exastencils_tpu.utils.printing import reduced_prec_str
 
-_LOC_MAP = {
-    "Node": NODE, "node": NODE, "Cell": CELL, "cell": CELL,
-    "Face_x": FACES[0], "Face_y": FACES[1], "Face_z": FACES[2],
-}
-
-_MATH_FNS = {
-    "sqrt": jnp.sqrt, "fabs": jnp.abs, "abs": jnp.abs, "sin": jnp.sin,
-    "cos": jnp.cos, "tan": jnp.tan, "sinh": jnp.sinh, "cosh": jnp.cosh,
-    "exp": jnp.exp, "ln": jnp.log, "log": jnp.log, "floor": jnp.floor,
-    "ceil": jnp.ceil, "atan": jnp.arctan, "asin": jnp.arcsin, "acos": jnp.arccos,
-}
-
-
-def _dtype_info(dt: Optional[str]):
-    """Interpret a canonical datatype string (dsl/parser.parse_datatype):
-    returns (elem_shape, is_complex) — elem_shape () for scalars,
-    (r, c) for the Matrix/Vector family (reference datatypes,
-    L4_Parser.scala:175-205)."""
-    if not dt:
-        return (), False
-    dt = dt.replace(" ", "")
-    if "<" not in dt:
-        m = re.fullmatch(r"Vec(\d+)", dt)  # Vec2/Vec3 shorthands
-        if m:
-            return (int(m.group(1)), 1), False
-        return (), dt == "Complex"
-    base, params = dt.split("<", 1)
-    params = params.rstrip(">")
-    is_c = params.startswith("Complex") or base == "Complex"
-    # split ints off the tail
-    ints = [p for p in params.split(",") if p.lstrip("-").isdigit()]
-    if base == "Matrix":
-        return (int(ints[-2]), int(ints[-1])), is_c
-    if base in ("ColumnVector", "Vector", "Tensor1"):
-        return (int(ints[-1]) if ints else 3, 1), is_c
-    if base == "RowVector":
-        return (1, int(ints[-1])), is_c
-    if base == "Tensor2":
-        n = int(ints[-1]) if ints else 3  # Tensor2<Real> defaults to dim 3
-        return (n, n), is_c
-    if base == "TensorN":
-        # TensorN<T, dim, order> (reference IR_TensorDatatypeN); order-1
-        # tensors share the column-vector layout so compare(tensN, tens1)
-        # and compare(tensN-order-2, tens2) hold structurally
-        d, o = int(ints[-2]), int(ints[-1])
-        return ((d, 1) if o == 1 else (d,) * o), is_c
-    if base == "Complex":
-        return (), True
-    return (), is_c
+from exastencils_tpu.dsl.interp_base import (  # noqa: F401  (re-exported)
+    _LOC_MAP,
+    _MATH_FNS,
+    Frame,
+    _Break,
+    _Exit,
+    _FieldInfo,
+    _FunctionBC,
+    _LoopCtx,
+    _Return,
+    _apply_assign,
+    _apply_binop,
+    _classify_mat_shape,
+    _compensated_sum,
+    _dtype_info,
+    _fmt,
+    _glibc_rand_stream,
+    _is_stencil,
+    _scale_stencil,
+    _shift,
+    is_mat,
+)
+from exastencils_tpu.dsl.interp_builtins import L4BuiltinsMixin
+from exastencils_tpu.dsl.interp_localsolve import L4LocalSolveMixin
+from exastencils_tpu.dsl.interp_staging import L4StagingMixin
 
 
-def _compensated_sum(vals, algo: str):
-    """Kahan / Neumaier compensated summation via lax.scan (reference
-    solver/l3 dot(..., "kahan"|"neumaier") summation-algorithm option,
-    Testing/ComplexNumbers/sumAlgos).  Plain `jnp.sum` is pairwise and
-    usually MORE accurate; these reproduce the sequential compensated
-    semantics for API parity."""
-    zero = jnp.zeros((), vals.dtype)
-
-    if algo == "kahan":
-        def step(carry, x):
-            s, c = carry
-            y = x - c
-            t = s + y
-            return (t, (t - s) - y), None
-    elif algo == "neumaier":
-        def step(carry, x):
-            s, c = carry
-            t = s + x
-            big = jnp.abs(s) >= jnp.abs(x)
-            return (t, c + jnp.where(big, (s - t) + x, (x - t) + s)), None
-    else:
-        return jnp.sum(vals)
-    (s, c), _ = lax.scan(step, (zero, zero), vals)
-    return s if algo == "kahan" else s + c
-
-
-def _glibc_rand_stream(seed: int = 1):
-    """glibc's default random() / rand(): the TYPE_3 additive-feedback
-    generator (r[i] = r[i-3] + r[i-31] mod 2^32, output >> 1) seeded by
-    the LCG warm-up, exactly as initstate_r does.  Needed to reproduce
-    the reference's `native("((double)std::rand()/RAND_MAX)")` field
-    initialization digit-for-digit (Testing/Opts)."""
-    r = [seed]
-    for i in range(1, 31):
-        # r[i] = (16807 * r[i-1]) % 2147483647 using the signed-overflow-
-        # free formulation glibc documents
-        hi, lo = divmod(r[i - 1], 127773)
-        word = 16807 * lo - 2836 * hi
-        if word < 0:
-            word += 2147483647
-        r.append(word)
-    for i in range(31, 34):
-        r.append(r[i - 31])
-    i = 34
-    while True:
-        v = (r[i - 3] + r[i - 31]) & 0xFFFFFFFF
-        r.append(v)
-        if i >= 344:  # glibc discards the first 310 outputs
-            yield v >> 1
-        i += 1
-
-
-class _FunctionBC:
-    """Field boundary handled by a user L4 function (reference
-    field decl `Field x< dom, layout, fnName() >`; `apply bc` calls it)."""
-
-    def __init__(self, fn_name: str, level_spec):
-        self.fn_name = fn_name
-        self.level_spec = level_spec
-
-
-class _Return(Exception):
-    def __init__(self, value):
-        self.value = value
-
-
-class _Break(Exception):
-    pass
-
-
-class _Exit(Exception):
-    """DSL `exit(code)` — terminates Application (generated std::exit)."""
-
-    def __init__(self, code: int):
-        self.code = code
-
-
-@dataclass
-class _FieldInfo:
-    name: str
-    localization: str
-    levels: List[int]
-    bc_by_level: Dict[int, object] = dc_field(default_factory=dict)  # BC instances
-    num_slots: int = 1
-    ghost: int = 1
-    elem_shape: Tuple[int, ...] = ()  # (r, c) for Matrix/Vector-valued fields
-    is_complex: bool = False
-    dup_layers: Optional[Tuple[int, ...]] = None  # None = default (1 per dim)
-
-
-@dataclass
-class Frame:
-    vars: Dict[str, object]
-    level: Optional[int]
-
-
-@dataclass
-class _LoopCtx:
-    level: int
-    localization: str
-    shape: Tuple[int, ...]
-    mask: Optional[jnp.ndarray] = None  # color/condition mask
-    reduction: Optional[Tuple[str, str]] = None
-
-
-class L4Executable:
+class L4Executable(L4BuiltinsMixin, L4StagingMixin, L4LocalSolveMixin):
     """A runnable ExaSlang-4 program."""
 
     def __init__(
@@ -625,8 +496,16 @@ class L4Executable:
 
     def init_globals(self):
         """Evaluate Globals-block declarations in order (the generated
-        initGlobals(); later decls may reference earlier ones)."""
+        initGlobals(); later decls may reference earlier ones).  C++
+        semantics: every global EXISTS (zero-initialized) before the
+        in-order assignments run, so a forward reference reads 0 —
+        ExaFluids' `nextPrintTime = maxTime + dt` precedes maxTime's
+        declaration (globals/ir/IR_GlobalCollection)."""
         fr = Frame({}, None)
+        for g in self.prog.globals_:
+            if g.name not in self.globals and g.datatype in (
+                    "Real", "Integer", "Int"):
+                self.globals[g.name] = 0 if g.datatype != "Real" else 0.0
         for g in self.prog.globals_:
             self.globals[g.name] = self._coerce_decl(g, fr, None)
 
@@ -1412,6 +1291,14 @@ class L4Executable:
                 return ("__stencil__", _scale_stencil(st, rhs), st_level)
             f_level = self._resolve_level(e.rhs.level, fr)
             arr = self.get_field(e.rhs.name, f_level, e.rhs.slot)
+            if e.rhs.sten_entry is not None \
+                    and e.rhs.name in self.stencil_templates:
+                # stencil applied to ONE stencil-field coefficient plane
+                # (ExaFluids' StencilRestrictionComponent template:
+                # `dest:[o] = restrictionStencil * source:[o]`)
+                kk = self.stencil_templates[e.rhs.name].offsets.index(
+                    tuple(e.rhs.sten_entry))
+                arr = arr[..., kk, 0]
             if isinstance(st, BoundStencil):
                 fz = getattr(self, "_frozen_ctx", None)
                 if fz is not None and fz[0] == e.rhs.name and fz[1] == f_level:
@@ -1504,576 +1391,6 @@ class L4Executable:
             )
         return res
 
-    def _eval_call(self, e: N.Call, fr: Frame, loop):
-        name = e.name
-        if (name.startswith(("integrateOver", "evalAt"))
-                and name.endswith("Face")):
-            # grid integral / face evaluation: expand once per call site
-            # into interpolated offset accesses * face area (gridops,
-            # reference IR_IntegrateOnGrid/IR_EvaluateOnGrid), then
-            # evaluate the rewritten expression normally
-            # keyed by id(e) WITH the node retained in the entry: id
-            # reuse after GC of a transient AST can otherwise alias a
-            # different call site to a stale expansion (advisor r3 #3)
-            key = id(e)
-            hit = self._gridcall_cache.get(key)
-            cached = hit[1] if hit is not None and hit[0] is e else None
-            if cached is None:
-                from exastencils_tpu.dsl.gridops import expand_grid_call
-
-                def loc_of(nm):
-                    if nm in self.stencil_templates:
-                        return self.stencil_templates[nm].localization
-                    info = self.fields.get(nm)
-                    return info.localization if info else None
-
-                cached = expand_grid_call(e, self.k.dimensionality, loc_of)
-                if cached is None:
-                    raise ValueError(f"unrecognized grid call {name!r}")
-                self._gridcall_cache[key] = (e, cached)
-            return self.eval_expr(cached, fr, loop)
-        if name in _MATH_FNS:
-            return _MATH_FNS[name](self.eval_expr(e.args[0], fr, loop))
-        if name in ("min", "max"):
-            vals = [self.eval_expr(a, fr, loop) for a in e.args]
-            f = jnp.minimum if name == "min" else jnp.maximum
-            out = vals[0]
-            for v in vals[1:]:
-                out = f(out, v)
-            return out
-        if name == "pow":
-            return self.eval_expr(e.args[0], fr, loop) ** self.eval_expr(e.args[1], fr, loop)
-        if name == "diag":
-            st = self.eval_expr(e.args[0], fr, loop)
-            if isinstance(st, tuple) and st[0] == "__stencil__":
-                return st[1].diag()
-            raise ValueError("diag() expects a stencil")
-        if name == "diag_inv":
-            # L3 inverse-diagonal builtin (operator/l3 diag_inv)
-            st = self.eval_expr(e.args[0], fr, loop)
-            if isinstance(st, tuple) and st[0] == "__stencil__":
-                return 1.0 / st[1].diag()
-            raise ValueError("diag_inv() expects a stencil")
-        if name in ("transpose", "transposed"):
-            v = self.eval_expr(e.args[0], fr, loop)
-            if _is_stencil(v):
-                return ("__stencil__", v[1].transposed(), v[2])
-            if is_mat(v):
-                return MV.transpose(v)
-            return jnp.swapaxes(v, -1, -2)
-        if name == "dot":
-            a = self.eval_expr(e.args[0], fr, loop)
-            b = self.eval_expr(e.args[1], fr, loop)
-            if is_mat(a) and is_mat(b):
-                return MV.dot_product(a, b)
-            # L3 field dot product: sum over all grid points
-            # (solver/l3 L3_FieldFieldConvolution); optional third arg
-            # selects the summation algorithm (ComplexNumbers/sumAlgos)
-            if len(e.args) > 2:
-                algo = str(getattr(e.args[2], "value", "")).strip("'\"")
-                return _compensated_sum((a * b).ravel(), algo)
-            return jnp.sum(a * b)
-        # ---- matrix builtins (reference baseExt/ir/IR_MatNodes/*) ----
-        if name == "dotProduct":
-            return MV.dot_product(self.eval_expr(e.args[0], fr, loop),
-                                  self.eval_expr(e.args[1], fr, loop))
-        if name == "cross":
-            return MV.cross(self.eval_expr(e.args[0], fr, loop),
-                            self.eval_expr(e.args[1], fr, loop))
-        if name == "trace":
-            return MV.trace(self.eval_expr(e.args[0], fr, loop))
-        if name in ("det", "determinant"):
-            v = self.eval_expr(e.args[0], fr, loop)
-            return MV.determinant(v) if is_mat(v) else v
-        if name in ("inverse", "inv"):
-            # extra string args are shape hints ("shape=schur", "block=6",
-            # IR_ClassifyMatShape.scala) selecting the reference's inversion
-            # algorithm; the batched LU inverse handles every shape here
-            v = self.eval_expr(e.args[0], fr, loop)
-            if _is_stencil(v):
-                raise ValueError("stencil inverse not supported; use diag_inv")
-            return MV.inverse(v)
-        if name in ("norm", "frobeniusNorm"):
-            v = self.eval_expr(e.args[0], fr, loop)
-            if is_mat(v):
-                return MV.frobenius_norm(v)
-            if (hasattr(v, "dtype") and jnp.iscomplexobj(v)) or isinstance(v, complex):
-                # std::norm semantics: |z|^2 (ComplexNumbers/BasicFunc)
-                a = jnp.abs(v) if hasattr(v, "dtype") else abs(v)
-                return a * a
-            return jnp.sqrt(jnp.sum(jnp.asarray(v) ** 2))
-        # ---- tensor builtins (reference baseExt/ir/IR_TensorOperations
-        # .scala resolveFunctions: add/dotp/dyadic/deter/eigen/...) ----
-        if name == "add":
-            a = self.eval_expr(e.args[0], fr, loop)
-            b = self.eval_expr(e.args[1], fr, loop)
-            if is_mat(a) and is_mat(b):
-                return MatVal(a.data + b.data)
-            return a + b
-        if name == "dotp":
-            # tensor "dot product" is ELEMENTWISE (dotProductTwoTensors2
-            # multiplies entry-by-entry, IR_TensorOperations.scala:1066)
-            a = self.eval_expr(e.args[0], fr, loop)
-            b = self.eval_expr(e.args[1], fr, loop)
-            if is_mat(a) and is_mat(b):
-                return MatVal(a.data * b.data)
-            return a * b
-        if name == "scalar":
-            a = self.eval_expr(e.args[0], fr, loop)
-            s = self.eval_expr(e.args[1], fr, loop)
-            return MatVal(a.data * s) if is_mat(a) else a * s
-        if name == "dyadic":
-            # outer product: order(a)+order(b) result (dyadicProduct*)
-            a = self.eval_expr(e.args[0], fr, loop)
-            b = self.eval_expr(e.args[1], fr, loop)
-            da = a.data[..., 0] if is_mat(a) and a.data.shape[-1] == 1 else a.data
-            db = b.data[..., 0] if is_mat(b) and b.data.shape[-1] == 1 else b.data
-            return MatVal(jnp.tensordot(da, db, axes=0))
-        if name == "deter":
-            return MV.determinant(self.eval_expr(e.args[0], fr, loop))
-        if name == "asTensor1":
-            v = self.eval_expr(e.args[0], fr, loop)
-            return MatVal(jnp.reshape(v.data, (-1, 1)))
-        if name == "asTensor2":
-            v = self.eval_expr(e.args[0], fr, loop)
-            n = int(round(math.sqrt(v.data.size)))
-            return MatVal(jnp.reshape(v.data, (n, n)))
-        if name == "eigen":
-            # eigen(t, res): eigenvalues of an order-2 tensor into a
-            # Matrix<Real, dims, 1> (reference QR/Householder iteration,
-            # IR_TensorOperations.scala:480-520; jnp.linalg is the
-            # batched-XLA formulation)
-            t = self.eval_expr(e.args[0], fr, loop)
-            try:  # concrete tensors: host LAPACK (general eigvals has no
-                # TPU lowering; these are compile-time constants anyway)
-                w = jnp.asarray(np.sort(
-                    np.real(np.linalg.eigvals(np.asarray(t.data)))
-                )[::-1])
-            except jax.errors.TracerArrayConversionError:
-                w = jnp.sort(
-                    jnp.real(jnp.linalg.eigvals(t.data.astype(self.complex_dtype)))
-                )[::-1]
-            self._mutate_matrix_var(
-                e.args[1], fr, loop,
-                lambda m: MatVal(w.reshape(m.data.shape).astype(m.data.dtype)))
-            return None
-        if name == "printTensor":
-            v = self.eval_expr(e.args[0], fr, loop)
-            self.emit(" ".join(
-                _fmt(float(x), self._cout_precision)
-                for x in np.asarray(v.data).ravel()))
-            return None
-        if name == "getElement":
-            m = self.eval_expr(e.args[0], fr, loop)
-            i = int(self.eval_expr(e.args[1], fr, loop))
-            j = int(self.eval_expr(e.args[2], fr, loop))
-            return m.data[..., i, j]
-        if name == "setElement":
-            self._mutate_matrix_var(
-                e.args[0], fr, loop,
-                lambda m: MatVal(m.data.at[
-                    ..., int(self.eval_expr(e.args[1], fr, loop)),
-                    int(self.eval_expr(e.args[2], fr, loop))
-                ].set(self.eval_expr(e.args[3], fr, loop))))
-            return None
-        if name == "getSlice":
-            args = [self.eval_expr(a, fr, loop) for a in e.args]
-            return MV.get_slice(*args)
-        if name == "setSlice":
-            vals = [self.eval_expr(a, fr, loop) for a in e.args[1:]]
-            self._mutate_matrix_var(
-                e.args[0], fr, loop, lambda m: MV.set_slice(m, *vals))
-            return None
-        if name == "toMatrix":
-            return self.eval_expr(e.args[0], fr, loop)
-        if name == "compare":
-            return self._builtin_compare(e, fr, loop)
-        if name == "classifyMatShape":
-            # compile-time matrix structure classifier (reference
-            # IR_ClassifyMatShape.isSchurOrBlockdiag, printed via
-            # IR_ResolveMatrices.scala:303-305)
-            m = self.eval_expr(e.args[0], fr, loop)
-            M = np.asarray(m.data) != 0
-            self.emit("".join(_classify_mat_shape(M)))
-            return None
-        if name == "evalMOpRuntimeExe":
-            # compiletime-vs-runtime execution report (reference
-            # IR_EvalMOpRuntimeExe.scala:9-27; printed without newline)
-            is_const = isinstance(e.args[0], N.MatrixLit) and all(
-                isinstance(x, N.Num)
-                or (isinstance(x, N.UnOp) and isinstance(x.operand, N.Num))
-                for row in e.args[0].rows for x in row
-            )
-            m = self.eval_expr(e.args[0], fr, loop)
-            if not self.k.experimental_evalMOpRuntimeExe:
-                word = self.k.experimental_resolveLocalMatSys
-            elif is_const:
-                word = "Compiletime"
-            else:
-                word = "Compiletime" if m.rows <= self.k.experimental_MOpRTExeThreshold else "Runtime"
-            self.emit(word, newline=False)
-            return None
-        # ---- complex builtins (reference ComplexNumbers/) ----
-        if name in ("Re", "re", "real"):
-            v = self.eval_expr(e.args[0], fr, loop)
-            return jnp.real(v) if hasattr(v, "dtype") else complex(v).real
-        if name in ("Im", "im", "imag"):
-            v = self.eval_expr(e.args[0], fr, loop)
-            return jnp.imag(v) if hasattr(v, "dtype") else complex(v).imag
-        if name == "conj":
-            return jnp.conj(self.eval_expr(e.args[0], fr, loop))
-        if name == "arg":
-            return jnp.angle(self.eval_expr(e.args[0], fr, loop))
-        if name == "polar":
-            r = self.eval_expr(e.args[0], fr, loop)
-            th = self.eval_expr(e.args[1], fr, loop)
-            return r * jnp.exp(1j * jnp.asarray(th))
-        if name == "notEqual":
-            # reference IR_ComplexNumberNotEqual: |d(re)| > 1e-12 or
-            # |d(im)| > 1e-13 (IR_ComplexNumberAccess.scala:54)
-            a = self.eval_expr(e.args[0], fr, loop)
-            b = self.eval_expr(e.args[1], fr, loop)
-            return jnp.logical_or(
-                jnp.abs(jnp.real(a) - jnp.real(b)) > 1e-12,
-                jnp.abs(jnp.imag(a) - jnp.imag(b)) > 1e-13,
-            )
-        if name == "getKnowledge":
-            return self._get_knowledge(e.args)
-        if name == "levels":
-            return self._resolve_level(e.level, fr)
-        if name == "print":
-            vals = [self.eval_expr(a, fr, loop) for a in e.args]
-            self.emit(" ".join(_fmt(v, self._cout_precision) for v in vals))
-            return None
-        if name == "buildString":
-            # buildString(dest, parts...) concatenates into the string
-            # variable (reference util/ir IR_BuildString)
-            parts = [self.eval_expr(a, fr, loop) for a in e.args[1:]]
-            dest = e.args[0].name
-            txt = "".join(str(p) for p in parts)
-            (fr.vars if dest in fr.vars else self.globals)[dest] = txt
-            return None
-        if name in ("printVtkNS", "printVtkNNF", "printVtkSWE"):
-            # multi-field VTK dump of the application's primary fields
-            # (visualization/ir/postprocessing IR_PrintVtkNS etc.): one
-            # file per localization group, suffixed by field name
-            from exastencils_tpu.runtime.vtk import print_vtk
-
-            path = str(self.eval_expr(e.args[0], fr, loop))
-            lvl = int(self.eval_expr(e.args[1], fr, loop))
-            for fname in ("u", "v", "w", "p"):
-                if fname in self.fields and lvl in self.fields[fname].levels:
-                    print_vtk(f"{path}.{fname}.vtk",
-                              {fname: self.get_field(fname, lvl)},
-                              self.grids[lvl], self.fields[fname].localization)
-            return None
-        if name in ("showMappedImage", "showMappedImageAndWaitWhen",
-                    "writeMappedImage", "readImage"):
-            return None  # CImg interactive visualization: no TPU analog
-        if name == "berndist":
-            # `berndist(gen_berndist)` (sumAlgos input generation): the
-            # program declares std::bernoulli_distribution(0.25) via
-            # native(); C++ RNG state cannot be reproduced, so a seeded
-            # host RNG supplies the draw (output is self-checked, not
-            # golden-diffed)
-            shape = tuple(loop.shape) if loop is not None else ()
-            return jnp.asarray(self._host_rng.random(shape) < 0.25)
-        if name == "native":
-            # emulate the generated std::cout stream-precision calls the
-            # reference's old-style reduced-precision printing relies on
-            # (util/ir/IR_ResolvePrintWithReducedPrec pre-refactor form)
-            code = str(e.args[0].value) if e.args else ""
-            if "std::rand()" in code:
-                # `((double)std::rand()/RAND_MAX)` random field init
-                # (Testing/Opts InitSolution): reproduce glibc's TYPE_3
-                # additive-feedback rand() EXACTLY (seed 1, never
-                # re-seeded) so the committed .results match digit for
-                # digit.  The generated C++ loop nest iterates x
-                # innermost; numpy boolean fill is last-axis-fastest, so
-                # fill the [z,y,x]-transposed view.
-                if loop is None:
-                    return jnp.asarray(
-                        next(self._glibc_rand) / 2147483647.0, self.dtype)
-                mask = loop.mask
-                shape = tuple(loop.shape)
-                mT = (np.ones(shape[::-1], bool) if mask is None
-                      else np.asarray(mask).T)
-                n_draw = int(mT.sum())
-                draws = np.fromiter(
-                    (next(self._glibc_rand) for _ in range(n_draw)),
-                    dtype=np.float64, count=n_draw) / 2147483647.0
-                arrT = np.zeros(shape[::-1])
-                arrT[mT] = draws
-                return jnp.asarray(arrT.T, self.dtype)
-            if "realdist(" in code:
-                shape = tuple(loop.shape) if loop is not None else ()
-                return jnp.asarray(self._host_rng.random(shape), self.dtype)
-            if "setprecision" in code:
-                # std::cout << setprecision(digits10+1) — long-double print
-                self._cout_precision = 19
-                return None
-            if "= std::cout.precision()" in code:
-                self._cout_saved = self._cout_precision
-            elif "std::cout.precision(oldPrec)" in code:
-                self._cout_precision = self._cout_saved
-            elif "std::cout.precision(" in code:
-                import re as _re
-
-                m = _re.search(r"std::cout\.precision\((\d+)\)", code)
-                if m:
-                    self._cout_precision = int(m.group(1))
-            return None
-        if name == "printWithReducedPrec":
-            v = float(self.eval_expr(e.args[0], fr, loop))
-            self.emit(reduced_prec_str(v, self.k.testing_maxPrecision, self.k.testing_zeroThreshold))
-            return None
-        if name in ("startTimer", "benchmarkStart"):
-            # benchmarkStart/Stop: the reference's likwid/talp marker
-            # builtins (benchmark_backend, IR_CollectUnresolvedBenchmark-
-            # Functions) — here they are named timers, visible via
-            # printAllTimers and jax.profiler annotations
-            self.timers.start(str(self.eval_expr(e.args[0], fr, loop)))
-            return None
-        if name in ("stopTimer", "benchmarkStop"):
-            self.timers.stop(str(self.eval_expr(e.args[0], fr, loop)))
-            return None
-        if name in ("printAllTimers",):
-            self.timers.print_all(self.out)
-            return None
-        if name in ("printAllTimersToFile",):
-            return None
-        if name == "printJSON":
-            # printJSON("file", "key", expr, "key", expr, ...) — the
-            # reference's benchmark-JSON writer consumed by its Grafana
-            # uploader (util/ir/IR_ResolveJSONFunctions.scala:24-37)
-            import json as _json
-
-            path = str(self.eval_expr(e.args[0], fr, loop))
-            obj = {}
-            for i in range(1, len(e.args) - 1, 2):
-                key_e = e.args[i]
-                key = (key_e.value if isinstance(key_e, N.Str)
-                       else getattr(key_e, "name", None)
-                       or str(self.eval_expr(key_e, fr, loop)))
-                val = self.eval_expr(e.args[i + 1], fr, loop)
-                try:
-                    val = float(val)
-                except (TypeError, ValueError):
-                    val = str(val)
-                obj[str(key)] = val
-            with open(path, "w") as f:
-                _json.dump(obj, f, indent=1)
-            return None
-        if name in ("getTotalTime", "getTotalFromTimer"):
-            return self.timers.get_total_time(str(self.eval_expr(e.args[0], fr, loop)))
-        if name in ("getMeanTime", "getMeanFromTimer"):
-            return self.timers.get_mean_time(str(self.eval_expr(e.args[0], fr, loop)))
-        if name == "initFieldsWithZero":
-            # reference: the zero-init loop is only generated under
-            # data_initAllFieldsWithZero (IR_InitFieldsWithZero); state
-            # allocation already zeroes, so this re-zeroing is elidable
-            if self.k.data_initAllFieldsWithZero:
-                self.init_fields_with_zero()
-            return None
-        if name == "initGlobals":
-            self.init_globals()
-            return None
-        if name in (
-            "initDomain", "initGeometry", "destroyGlobals", "initFragments",
-        ):
-            return None
-        if name == "writeField":
-            from exastencils_tpu.runtime.fieldio import write_field
-
-            path = str(self.eval_expr(e.args[0], fr, loop))
-            acc = e.args[1]
-            with self.timers.auto_scope("IO"):
-                write_field(
-                    path,
-                    self.get_field(acc.name, self._resolve_level(acc.level, fr)))
-            return None
-        if name == "readField":
-            from exastencils_tpu.runtime.fieldio import read_field
-
-            path = str(self.eval_expr(e.args[0], fr, loop))
-            acc = e.args[1]
-            lvl = self._resolve_level(acc.level, fr)
-            cur = self.get_field(acc.name, lvl)
-            with self.timers.auto_scope("IO"):
-                self.set_field(acc.name, lvl, read_field(path, like=cur))
-            return None
-        if name.startswith(("writeField_", "readField_", "printField_")):
-            with self.timers.auto_scope("IO"):
-                return self._eval_io_backend_call(name, e, fr, loop)
-        if name == "exit":
-            code = int(self.eval_expr(e.args[0], fr, loop)) if e.args else 0
-            raise _Exit(code)
-        if name == "buildString":
-            # buildString(target, parts...) — concatenate into the string
-            # variable (reference util/ir string building; SWE filenames)
-            target = e.args[0]
-            parts = []
-            for a in e.args[1:]:
-                v = self.eval_expr(a, fr, loop)
-                if isinstance(v, float) and v == int(v):
-                    v = int(v)
-                parts.append(str(v))
-            env = fr.vars if target.name in fr.vars else self.globals
-            env[target.name] = "".join(parts)
-            return None
-        if name == "levels":
-            return self._resolve_level(e.level, fr)
-        if name == "printField":
-            from exastencils_tpu.runtime.fieldio import print_field
-
-            path = str(self.eval_expr(e.args[0], fr, loop))
-            acc = e.args[1]
-            with self.timers.auto_scope("IO"):
-                print_field(
-                    path,
-                    self.get_field(acc.name, self._resolve_level(acc.level, fr)))
-            return None
-        if name == "printVtk":
-            from exastencils_tpu.runtime.vtk import print_vtk
-
-            path = str(self.eval_expr(e.args[0], fr, loop))
-            acc = e.args[1]
-            lvl = self._resolve_level(acc.level, fr)
-            print_vtk(path, {acc.name: self.get_field(acc.name, lvl)}, self.grids[lvl],
-                      self.fields[acc.name].localization)
-            return None
-        # user function
-        lvl = self._resolve_level(e.level, fr) if e.level is not None else fr.level
-        fkey = (name, lvl) if (name, lvl) in self.functions else (name, None)
-        if fkey in self.functions:
-            args = [self.eval_expr(a, fr, loop) for a in e.args]
-            return self.call_function(self.functions[fkey], lvl, args)
-        raise ValueError(f"unknown function {name!r}")
-
-    def _eval_io_backend_call(self, name: str, e: N.Call, fr: Frame, loop):
-        """Per-backend field IO builtins (Testing/IOTest surface):
-        writeField_lock/_fpp/_hdf5/_mpiio/_nc/_sion and the matching
-        readField_* (runtime/fieldio backend functions)."""
-        from exastencils_tpu.runtime import fieldio as FIO
-
-        op, backend = name.split("_", 1)
-        path = str(self.eval_expr(e.args[0], fr, loop))
-        # hdf5/nc carry (path, dataset/var, field, ...) in the IOTest
-        # form, but the printField visualization form passes the field
-        # directly: (path, field, useCanonicalLayout)
-        # (Examples/IO/2D_PrintField_NonUniform_AA.exa4:134-164)
-        if backend in ("hdf5", "nc") and not isinstance(e.args[1], N.Access):
-            dataset = str(self.eval_expr(e.args[1], fr, loop))
-            acc = e.args[2]
-            extra = (dataset,)
-        elif backend in ("hdf5", "nc") and isinstance(e.args[1], N.Access) \
-                and e.args[1].name not in self.fields:
-            dataset = str(self.eval_expr(e.args[1], fr, loop))
-            acc = e.args[2]
-            extra = (dataset,)
-        elif backend in ("hdf5", "nc"):
-            acc = e.args[1]
-            extra = ("field",)  # default dataset name
-        else:
-            acc = e.args[1]
-            extra = ()
-        lvl = self._resolve_level(acc.level, fr)
-        arr = self.get_field(acc.name, lvl)
-        if op == "printField":
-            # visualization output of the same backend family: reuse the
-            # write path (xdmf companions are runtime/vtk's job)
-            op = "writeField"
-        if op == "writeField":
-            fn = getattr(FIO, f"write_field_{backend}")
-            if backend == "lock":
-                # (path, field, useGhost, useAscii, condition, separator)
-                binary = (not bool(self.eval_expr(e.args[3], fr, loop))
-                          if len(e.args) > 3 else False)
-                if len(e.args) > 4:
-                    # a per-point condition selects the written subset in
-                    # the reference (io/ir/IR_AccessPattern.scala); we
-                    # refuse non-trivial conditions rather than silently
-                    # writing every point (advisor r4)
-                    cond = self.eval_expr(e.args[4], fr, loop)
-                    if getattr(cond, "shape", ()) or not bool(cond):
-                        raise NotImplementedError(
-                            "writeField with a non-trivial condition "
-                            "argument is not supported"
-                        )
-                sep = (str(self.eval_expr(e.args[5], fr, loop))
-                       if len(e.args) > 5 else ",")
-                fn(path, arr, binary=binary, sep=sep)
-            elif backend == "fpp":
-                binary = (bool(self.eval_expr(e.args[3], fr, loop))
-                          if len(e.args) > 3 else True)
-                fn(path, arr, binary=binary)
-            else:
-                fn(path, *extra, arr)
-            return None
-        fn = getattr(FIO, f"read_field_{backend}")
-        if backend == "lock":
-            binary = (not bool(self.eval_expr(e.args[3], fr, loop))
-                      if len(e.args) > 3 else False)
-            sep = (str(self.eval_expr(e.args[5], fr, loop))
-                   if len(e.args) > 5 else ",")
-            new = fn(path, arr, binary=binary, sep=sep)
-        elif backend == "fpp":
-            binary = (bool(self.eval_expr(e.args[3], fr, loop))
-                      if len(e.args) > 3 else True)
-            new = fn(path, arr, binary=binary)
-        else:
-            new = fn(path, *extra, arr)
-        self.set_field(acc.name, lvl, new)
-        return None
-
-    def _mutate_matrix_var(self, target, fr: Frame, loop, fn):
-        """In-place matrix mutation builtins (setElement/setSlice) write
-        back through the variable/global/field the access names."""
-        if not isinstance(target, N.Access):
-            raise ValueError("matrix mutation target must be a named access")
-        name = target.name
-        if name in fr.vars:
-            fr.vars[name] = fn(fr.vars[name])
-            return
-        if name in self.globals:
-            self.globals[name] = fn(self.globals[name])
-            return
-        if name in self.fields:
-            lvl = self._resolve_level(target.level, fr)
-            arr = self.get_field(name, lvl, target.slot)
-            self.set_field(name, lvl, fn(MatVal(arr)).data, target.slot)
-            return
-        raise ValueError(f"unknown matrix variable {name!r}")
-
-    def _builtin_compare(self, e: N.Call, fr: Frame, loop):
-        """`compare(a, b, prec[, abortOnMismatch])` (reference
-        IR_GenerateBasicMatrixOperations compare): silent on match,
-        prints a diagnostic line on mismatch — golden suites rely on the
-        silence of passing stages."""
-        a = self.eval_expr(e.args[0], fr, loop)
-        b = self.eval_expr(e.args[1], fr, loop)
-        prec = float(self.eval_expr(e.args[2], fr, loop)) if len(e.args) > 2 else 1e-6
-        da = a.data if is_mat(a) else jnp.asarray(a)
-        db = b.data if is_mat(b) else jnp.asarray(b)
-        # jnp broadcasting covers 1x1-vs-scalar and grid-batched-vs-
-        # constant comparisons
-        adiff = jnp.abs(da - db)
-        if loop is not None and loop.mask is not None and adiff.ndim >= len(loop.shape):
-            # compare() inside a masked loop is a per-point statement:
-            # only loop-visited points participate (the reference's
-            # compare expands inside the loop nest)
-            e_nd = adiff.ndim - len(loop.shape)
-            m = loop.mask[(...,) + (None,) * e_nd] if e_nd else loop.mask
-            adiff = jnp.where(m, adiff, 0.0)
-        diff = jnp.max(adiff)
-        if bool(diff > prec):
-            self.emit(
-                f"compare: mismatch (max |a-b| = {float(diff):.6g} > {prec:g})"
-            )
-        # tensor compare is also usable as a boolean expression
-        # (`if (compare(t1, t2)) ...`, IR_TensorOperations compareTwoTensor*)
-        return bool(diff <= prec)
-
     # ------------------------------------------------------------------
     def call_function(self, fn: N.FunctionDecl, level: Optional[int], args):
         fr = Frame(dict(zip((p[0] for p in fn.params), args)), level)
@@ -2106,912 +1423,6 @@ class L4Executable:
             self.state[key] = jax.lax.with_sharding_constraint(arr, sh)
         else:
             self.state[key] = jax.device_put(arr, sh)
-
-    # ------------------------------------------------------------------
-    # staged execution: jit maximal traceable statement runs
-    #
-    # The reference compiles every L4 function to C++; here the analog
-    # is tracing runs of statements into ONE XLA computation.  Runs are
-    # split at statements that need Python control flow (repeat until,
-    # conditional return/break) or host effects (print, timers, IO):
-    # those execute eagerly, and e.g. a generated `Solve` degrades to
-    # "eager while-loop around one jitted V-cycle per level" — exactly
-    # the staging granularity a hand-written JAX program would pick.
-    _STAGE_BLOCKED_CALLS = frozenset({
-        "print", "printWithReducedPrec", "printAllTimers",
-        "printAllTimersToFile", "startTimer", "stopTimer",
-        "benchmarkStart", "benchmarkStop", "printJSON",
-        "getTotalTime", "getTotalFromTimer", "getMeanTime",
-        "getMeanFromTimer", "native", "writeField", "readField",
-        "printField", "printVtk", "compare", "classifyMatShape",
-        "evalMOpRuntimeExe", "initFieldsWithZero", "initGlobals",
-        "readParameterFile",
-    })
-    _STAGE_SAFE_CALLS = frozenset({
-        "min", "max", "pow", "diag", "diag_inv", "transpose",
-        "transposed", "dot", "dotProduct", "cross", "trace", "det",
-        "determinant", "inverse", "inv", "norm", "frobeniusNorm",
-        "getElement", "setElement", "getSlice", "setSlice", "toMatrix",
-        "Re", "re", "real", "Im", "im", "imag", "conj", "arg", "polar",
-        "notEqual", "getKnowledge", "levels", "initDomain",
-        "initGeometry", "destroyGlobals", "initFragments",
-    })
-
-    def _partition_stmts(self, stmts: List[N.Stmt], fr: Frame, loop):
-        """Split a statement list into (run, staged?) groups."""
-        if not self.jit_functions or loop is not None or self._in_trace:
-            yield stmts, False
-            return
-        run: List[N.Stmt] = []
-
-        def flush():
-            if run:
-                yield list(run), any(self._has_field_work(s, fr.level) for s in run)
-                run.clear()
-
-        for s in stmts:
-            if self._stmt_stageable(s, fr.level):
-                run.append(s)
-            else:
-                yield from flush()
-                yield [s], False
-        yield from flush()
-
-    def _has_field_work(self, s, level) -> bool:
-        """Worth jitting? (contains grid work, not just scalar decls)"""
-        if isinstance(s, (N.LoopOverField, N.ColorWith, N.RepeatWith,
-                          N.ApplyBC, N.SolveLocally, N.SolveMatSys,
-                          N.Communicate)):
-            return True
-        if isinstance(s, (N.RepeatTimes, N.LoopOverFragments, N.LevelScope)):
-            return any(self._has_field_work(x, level) for x in s.body)
-        if isinstance(s, N.If):
-            return any(self._has_field_work(x, level)
-                       for x in s.then_body + s.else_body)
-        if isinstance(s, N.VarDecl):
-            return s.init is not None and self._calls_user_fn(s.init)
-        if isinstance(s, N.Assign):
-            return self._calls_user_fn(s.value)
-        if isinstance(s, N.ExprStmt):
-            return self._calls_user_fn(s.expr)
-        return False
-
-    def _calls_user_fn(self, e) -> bool:
-        if isinstance(e, N.Call):
-            if any(k[0] == e.name for k in self.functions):
-                return True
-            return any(self._calls_user_fn(a) for a in e.args)
-        if isinstance(e, N.BinOp):
-            return self._calls_user_fn(e.lhs) or self._calls_user_fn(e.rhs)
-        if isinstance(e, N.UnOp):
-            return self._calls_user_fn(e.operand)
-        return False
-
-    def _call_targets(self, e: N.Call, level):
-        """FunctionDecls an L4 call can bind to (with their levels)."""
-        out = []
-        if e.level is not None:
-            try:
-                lvls = e.level.resolve(self.lo, self.hi, level)
-            except Exception:
-                return None  # unresolvable at scan time
-            for l in lvls:
-                if (e.name, l) in self.functions:
-                    out.append((self.functions[(e.name, l)], l))
-        else:
-            if (e.name, level) in self.functions:
-                out.append((self.functions[(e.name, level)], level))
-            elif (e.name, None) in self.functions:
-                out.append((self.functions[(e.name, None)], level))
-        return out
-
-    def _stmt_stageable(self, s, level) -> bool:
-        key = (id(s), level)
-        memo = self._stageable_memo
-        if key in memo:
-            return memo[key]
-        memo[key] = True  # break recursion cycles optimistically
-        ok = self._stageable_impl(s, level)
-        memo[key] = ok
-        return ok
-
-    def _stageable_impl(self, s, level) -> bool:
-        if isinstance(s, (N.Return, N.Break, N.RepeatUntil)):
-            return False
-        if isinstance(s, N.VarDecl):
-            return s.init is None or self._expr_stageable(s.init, level)
-        if isinstance(s, N.Assign):
-            return self._expr_stageable(s.value, level)
-        if isinstance(s, N.If):
-            return (self._expr_stageable(s.cond, level)
-                    and all(self._stmt_stageable(x, level) for x in s.then_body)
-                    and all(self._stmt_stageable(x, level) for x in s.else_body))
-        if isinstance(s, N.RepeatTimes):
-            # large static repeats over field loops would UNROLL into the
-            # trace (a Smoother coarse-grid solver is `repeat 128 times`
-            # of full sweeps — LinearElasticity traced for minutes);
-            # leave them eager: each sweep replays one cached staged run
-            if (isinstance(s.count, N.Num) and float(s.count.value) > 24
-                    and any(isinstance(x, (N.LoopOverField, N.ColorWith))
-                            for x in s.body)):
-                return False
-            return (self._expr_stageable(s.count, level)
-                    and all(self._stmt_stageable(x, level) for x in s.body))
-        if isinstance(s, (N.LoopOverFragments, N.ColorWith, N.RepeatWith,
-                          N.LevelScope)):
-            return all(self._stmt_stageable(x, level) for x in s.body)
-        if isinstance(s, N.LoopOverField):
-            return (
-                (s.condition is None or self._expr_stageable(s.condition, level))
-                and all(self._stmt_stageable(x, level) for x in s.body)
-            )
-        if isinstance(s, (N.Communicate, N.ApplyBC)):
-            # automatic category timing needs these to run eagerly so
-            # each occurrence is individually measurable (the reference
-            # instruments the generated functions the same way,
-            # IR_AutomaticFunctionTiming); perturbation-by-observation
-            # is inherent to the feature
-            cat = "COMM" if isinstance(s, N.Communicate) else "APPLYBC"
-            return not self.timers.auto_enabled(cat)
-        if isinstance(s, (N.Advance, N.SolveMatSys)):
-            return True
-        if isinstance(s, N.SolveLocally):
-            return all(
-                self._expr_stageable(lhs, level) and self._expr_stageable(rhs, level)
-                for lhs, rhs in s.equations
-            )
-        if isinstance(s, N.ExprStmt):
-            return self._expr_stageable(s.expr, level)
-        return False
-
-    def _expr_stageable(self, e, level) -> bool:
-        if isinstance(e, (N.Num, N.Str)) or e is None:
-            return True
-        if isinstance(e, N.Access):
-            return True
-        if isinstance(e, N.UnOp):
-            return self._expr_stageable(e.operand, level)
-        if isinstance(e, N.BinOp):
-            return self._expr_stageable(e.lhs, level) and self._expr_stageable(e.rhs, level)
-        if isinstance(e, N.MatrixLit):
-            return all(self._expr_stageable(x, level) for row in e.rows for x in row)
-        if isinstance(e, N.TensorLit):
-            return all(self._expr_stageable(x, level) for _, x in e.entries)
-        if isinstance(e, N.Call):
-            if e.name in self._STAGE_BLOCKED_CALLS or e.name == "exit" \
-                    or e.name.startswith(
-                        ("writeField_", "readField_", "printField_")):
-                return False
-            if not all(self._expr_stageable(a, level) for a in e.args):
-                return False
-            if e.name in _MATH_FNS or e.name in self._STAGE_SAFE_CALLS \
-                    or (e.name.startswith(("integrateOver", "evalAt"))
-                        and e.name.endswith("Face")):
-                return True
-            targets = self._call_targets(e, level)
-            if targets is None or not targets:
-                return False
-            return all(self._fn_stageable(fn, lvl) for fn, lvl in targets)
-        return False
-
-    def _fn_stageable(self, fn: N.FunctionDecl, level) -> bool:
-        """A called function stages if its body does — a single trailing
-        unconditional Return is fine (it raises _Return deterministically
-        at trace time)."""
-        key = (id(fn), level)
-        memo = self._stageable_memo
-        if key in memo:
-            return memo[key]
-        memo[key] = True  # optimistic for recursion (mgCycle@l -> @l-1)
-        body = fn.body
-        tail_ok = True
-        if body and isinstance(body[-1], N.Return):
-            tail_ok = body[-1].value is None or self._expr_stageable(body[-1].value, level)
-            body = body[:-1]
-        elif body and isinstance(body[-1], N.RepeatTimes) and \
-                self._match_early_exit_repeat(body[-1], level) is not None:
-            # a tail-position early-exit repeat lowers to lax.while_loop
-            # inline (its `return` == break) — whole function traceable
-            body = body[:-1]
-        ok = tail_ok and all(self._stmt_stageable(x, level) for x in body)
-        memo[key] = ok
-        return ok
-
-    # ---- referenced / free names of a run (for trace signatures) ----
-    def _stmt_refs(self, s, level) -> frozenset:
-        key = (id(s), level)
-        if key in self._refs_memo:
-            return self._refs_memo[key]
-        self._refs_memo[key] = frozenset()  # cycle guard
-        out = set()
-
-        def expr(e):
-            if e is None:
-                return
-            if isinstance(e, N.Access):
-                out.add(e.name)
-                if e.component:
-                    for c in e.component:
-                        for x in c[1:]:
-                            if isinstance(x, N.Expr):
-                                expr(x)
-            elif isinstance(e, N.BinOp):
-                expr(e.lhs); expr(e.rhs)
-            elif isinstance(e, N.UnOp):
-                expr(e.operand)
-            elif isinstance(e, N.MatrixLit):
-                for row in e.rows:
-                    for x in row:
-                        expr(x)
-            elif isinstance(e, N.TensorLit):
-                for _, x in e.entries:
-                    expr(x)
-            elif isinstance(e, N.Call):
-                for a in e.args:
-                    expr(a)
-                for fn, lvl in (self._call_targets(e, level) or []):
-                    for st in fn.body:
-                        out.update(self._stmt_refs(st, lvl))
-
-        if isinstance(s, N.VarDecl):
-            expr(s.init)
-        elif isinstance(s, N.Assign):
-            out.add(s.target.name)
-            expr(s.value)
-        elif isinstance(s, N.If):
-            expr(s.cond)
-            for x in s.then_body + s.else_body:
-                out.update(self._stmt_refs(x, level))
-        elif isinstance(s, N.RepeatTimes):
-            expr(s.count)
-            for x in s.body:
-                out.update(self._stmt_refs(x, level))
-        elif isinstance(s, (N.LoopOverFragments, N.LevelScope, N.RepeatWith,
-                            N.ColorWith)):
-            if isinstance(s, N.ColorWith):
-                expr(s.colors)
-                for c in s.more_colors:
-                    expr(c)
-            if isinstance(s, N.RepeatWith):
-                for c in s.conditions:
-                    expr(c)
-            for x in s.body:
-                out.update(self._stmt_refs(x, level))
-        elif isinstance(s, N.LoopOverField):
-            out.add(s.field.name)
-            expr(s.condition)
-            if s.reduction:
-                out.add(s.reduction[1])
-            for x in s.body:
-                out.update(self._stmt_refs(x, level))
-        elif isinstance(s, (N.Communicate, N.ApplyBC, N.Advance)):
-            out.add(s.field.name)
-        elif isinstance(s, N.SolveLocally):
-            expr(s.relax)
-            for u in s.unknowns:
-                out.add(u.name)
-            for lhs, rhs in s.equations:
-                expr(lhs); expr(rhs)
-        elif isinstance(s, N.SolveMatSys):
-            out.update({s.A.name, s.u.name, s.f.name})
-        elif isinstance(s, N.ExprStmt):
-            expr(s.expr)
-        elif isinstance(s, N.Return):
-            expr(s.value)
-        res = frozenset(out)
-        self._refs_memo[key] = res
-        return res
-
-    def _run_staged(self, stmts: List[N.Stmt], fr: Frame):
-        """Execute a traceable statement run as ONE jitted computation
-        over the whole field state (plus referenced frame/global
-        scalars).  First execution traces; trace failures (data-dependent
-        Python control flow the static scan missed) blacklist the run
-        and fall back to eager execution."""
-        key0 = (tuple(id(s) for s in stmts), fr.level)
-        if key0 in self._stage_blacklist:
-            for s in stmts:
-                self.exec_stmt(s, fr, None)
-            return
-        refs = set()
-        for s in stmts:
-            refs |= self._stmt_refs(s, fr.level)
-        # stencil coefficients may read fields/globals (stencil-field
-        # case, IR_StencilField.scala) — pull their refs in too
-        for n in [n for n in refs if n in self.stencils]:
-            for entry2 in self.stencils[n].values():
-                if isinstance(entry2, tuple) and entry2 and entry2[0] == "__decl__":
-                    for en in entry2[1].entries:
-                        refs |= self._referenced_names(en.coef)
-                elif isinstance(entry2, tuple) and entry2 and entry2[0] == "__sexpr__":
-                    refs |= self._referenced_names(entry2[1].expr)
-
-        def lookup(n):
-            return fr.vars[n] if n in fr.vars else self.globals.get(n)
-
-        def traceable(v):
-            # ints are traced too (bool excluded: flags steer structural
-            # control flow): a python-int iteration counter as a const
-            # would re-key and RETRACE the run every step (SWE's `it`)
-            return (isinstance(v, (float, np.floating))
-                    or (isinstance(v, (int, np.integer))
-                        and not isinstance(v, bool))
-                    or hasattr(v, "shape") or is_mat(v))
-
-        var_names = sorted(
-            n for n in refs
-            if n not in self.fields and n not in self.stencils
-            and (n in fr.vars or n in self.globals)
-        )
-        traced_names = tuple(n for n in var_names if traceable(lookup(n)))
-        const_items = tuple(
-            (n, repr(lookup(n))) for n in var_names if n not in traced_names
-        )
-        slot_snap = tuple(sorted(self.slot_index.items()))
-        # jit only the fields the run touches (compile-time scales with
-        # the input surface); a missed read KeyErrors at trace time and
-        # falls back to eager execution — never silently wrong
-        state_keys = tuple(sorted(
-            k2 for k2 in self.state
-            if k2[0] in refs or k2[0].split("__ghost")[0] in refs
-        ))
-        # staleness is part of the trace signature: a run traced while a
-        # field was dead-store-elided rematerializes it inside the trace
-        # (and vice versa) — replaying across different staleness would
-        # read the wrong array.  Keys whose staleness is liveness-PROVEN
-        # unread (every fast-path elision) cannot influence the trace
-        # and are excluded, so the steady-state staleness of cycle 2+
-        # replays cycle 1's trace instead of recompiling (dsl/fastpath)
-        stale_snap = tuple(sorted(
-            k2 for k2 in self._stale
-            if k2 in state_keys and k2 not in self._stale_proven
-        ))
-        key = (key0, traced_names, const_items, slot_snap, state_keys,
-               stale_snap)
-        entry = self._stage_cache.get(key)
-        state_in = tuple(self.state[k2] for k2 in state_keys)
-        vars_in = tuple(lookup(n) for n in traced_names)
-        if entry is None:
-            entry = self._stage_build(key0, stmts, fr, state_keys, traced_names)
-            snapshot = (dict(self.state), dict(self.globals),
-                        dict(self.slot_index), dict(fr.vars))
-            # the first call both traces AND executes; donate COPIES so
-            # an execution-time failure (TPU OOM, Mosaic runtime error)
-            # consumes the copies, not the arrays the recovery path
-            # below restores into self.state (advisor r4 medium: with
-            # the originals donated, the eager replay crashed with
-            # "Array has been deleted").  Steady-state cache hits donate
-            # the originals — a failure there propagates as a hard error
-            # rather than pretending recovery is possible.
-            state_don = tuple(
-                jnp.copy(x) if hasattr(x, "shape") else x for x in state_in
-            )
-            try:
-                outs = entry["fn"](state_don, vars_in)
-            except Exception:
-                self.state, self.globals, self.slot_index = (
-                    snapshot[0], snapshot[1], snapshot[2])
-                fr.vars.clear()
-                fr.vars.update(snapshot[3])
-                self._in_trace = False
-                self._stage_blacklist.add(key0)
-                for s in stmts:
-                    self.exec_stmt(s, fr, None)
-                return
-            self._stage_cache[key] = entry
-            if self.capture_hlo:
-                try:
-                    self.compiled_hlo[key] = (
-                        entry["fn"].lower(state_in, vars_in).compile().as_text()
-                    )
-                except Exception:
-                    pass  # capture is diagnostic-only
-        else:
-            outs = entry["fn"](state_in, vars_in)
-        state_out, var_out, glob_out = outs
-        for k2, v in zip(state_keys + entry.get("ghost_new", ()), state_out):
-            self.state[k2] = v
-        for k2 in entry["stale_removed"]:
-            self._stale.pop(k2, None)
-        self._stale.update(entry["stale_added"])
-        for n, v in zip(entry["out_var_names"], var_out):
-            fr.vars[n] = v
-        for n, v in zip(entry["out_glob_names"], glob_out):
-            self.globals[n] = v
-        for n, v in entry["py_vars"]:
-            fr.vars[n] = v
-        for n, v in entry["py_globs"]:
-            self.globals[n] = v
-        self.slot_index = dict(entry["post_slots"])
-
-    def _stage_build(self, key0, stmts, fr, state_keys, traced_names):
-        """Closure + capture record for one staged run."""
-        _MISSING = object()
-        base_vars = dict(fr.vars)
-        base_globals = dict(self.globals)
-        entry = {
-            "out_var_names": (), "out_glob_names": (),
-            "py_vars": (), "py_globs": (),
-            "post_slots": dict(self.slot_index),
-            "stale_added": {}, "stale_removed": (),
-            "ghost_new": (),
-        }
-
-        def fn(state_in, vars_in):
-            prev = (self.state, self.globals, self.slot_index, self._in_trace,
-                    self._stale)
-            fr2 = Frame(dict(base_vars), fr.level)
-            glob2 = dict(base_globals)
-            for n, v in zip(traced_names, vars_in):
-                if n in base_vars:
-                    fr2.vars[n] = v
-                else:
-                    glob2[n] = v
-            self.state = dict(zip(state_keys, state_in))
-            self.globals = glob2
-            self.slot_index = dict(prev[2])
-            self._stale = dict(prev[4])
-            self._in_trace = True
-            try:
-                self._exec_plan_aware(stmts, fr2, None)
-                extra = set(self.state) - set(state_keys)
-                # ghost planes materialized for the first time inside
-                # this trace become additional outputs (next execution
-                # finds them in state_keys and retraces once)
-                ghost_new = tuple(sorted(
-                    k2 for k2 in extra if "__ghost" in k2[0]))
-                extra -= set(ghost_new)
-                if extra:
-                    # a write escaped the static ref scan — refuse the
-                    # trace (falls back to eager) rather than lose it
-                    raise RuntimeError(f"staged run wrote unscanned fields {extra}")
-                entry["ghost_new"] = ghost_new
-                out_state = tuple(self.state[k2]
-                                  for k2 in state_keys + ghost_new)
-
-                def is_traced(v):
-                    x = v.data if is_mat(v) else v
-                    return isinstance(x, jax.core.Tracer)
-
-                var_changed = sorted(
-                    n for n, v in fr2.vars.items()
-                    if base_vars.get(n, _MISSING) is not v
-                )
-                glob_changed = sorted(
-                    n for n, v in glob2.items()
-                    if base_globals.get(n, _MISSING) is not v
-                )
-                entry["out_var_names"] = tuple(
-                    n for n in var_changed if is_traced(fr2.vars[n]))
-                entry["py_vars"] = tuple(
-                    (n, fr2.vars[n]) for n in var_changed
-                    if not is_traced(fr2.vars[n]))
-                entry["out_glob_names"] = tuple(
-                    n for n in glob_changed if is_traced(glob2[n]))
-                entry["py_globs"] = tuple(
-                    (n, glob2[n]) for n in glob_changed
-                    if not is_traced(glob2[n]))
-                entry["post_slots"] = dict(self.slot_index)
-                entry["stale_added"] = {
-                    k2: v for k2, v in self._stale.items() if k2 not in prev[4]
-                }
-                entry["stale_removed"] = tuple(
-                    k2 for k2 in prev[4] if k2 not in self._stale
-                )
-                return (
-                    out_state,
-                    tuple(fr2.vars[n] for n in entry["out_var_names"]),
-                    tuple(glob2[n] for n in entry["out_glob_names"]),
-                )
-            finally:
-                (self.state, self.globals, self.slot_index, self._in_trace,
-                 self._stale) = prev
-
-        # donate the state tuple: without donation XLA must COPY every
-        # pass-through state array into a fresh output buffer (a full
-        # field read+write per untouched field — measured ~5 ms/cycle at
-        # 512^3), and the Pallas kernels' in-place aliases force a copy
-        # of their operand too.  The interpreter immediately replaces
-        # self.state with the outputs, so the donated inputs are dead.
-        entry["fn"] = jax.jit(fn, donate_argnums=(0,))
-        return entry
-
-    # ------------------------------------------------------------------
-    # early-exit `repeat N times` as ONE lax.while_loop
-    #
-    # The generated CG coarse solves look like
-    #   repeat 512 times count it { ...; if (res <= eps) { return }; ... }
-    # The conditional `return` makes the loop unstageable, so without
-    # this lowering it runs eagerly with a host sync per iteration —
-    # the DSL path's dominant overhead (the coarsest grids are a few
-    # points; every CG step is dispatch-bound).  Here the whole loop
-    # becomes one jitted lax.while_loop whose carry holds the touched
-    # field state and the mutated scalars; the function-level early
-    # return needs ONE host sync after the loop.  (The reference
-    # generates a C++ `for` with a `return` — CUDA_Kernel.scala-adjacent
-    # control flow; lax.while_loop is the XLA formulation of the same.)
-
-    def _match_early_exit_repeat(self, s: N.RepeatTimes, level):
-        """(pre, cond, post) when the body is `pre; if cond {return}; post`
-        with everything else traceable, else None."""
-        exit_idx = None
-        for i, st in enumerate(s.body):
-            if (isinstance(st, N.If) and not st.else_body
-                    and len(st.then_body) == 1
-                    and isinstance(st.then_body[0], N.Return)
-                    and st.then_body[0].value is None):
-                if exit_idx is not None:
-                    return None
-                exit_idx = i
-        if exit_idx is None:
-            return None
-        pre = list(s.body[:exit_idx])
-        post = list(s.body[exit_idx + 1:])
-        cond = s.body[exit_idx].cond
-        if not all(self._stmt_stageable(x, level) for x in pre + post):
-            return None
-        if not (self._expr_stageable(cond, level)
-                and self._expr_stageable(s.count, level)):
-            return None
-        if self._body_mutates_slots(s.body, level):
-            return None  # Advance would mutate Python slot state per iter
-        return pre, cond, post
-
-    def _body_mutates_slots(self, stmts, level, _seen=None) -> bool:
-        _seen = _seen if _seen is not None else set()
-        for st in stmts:
-            if isinstance(st, N.Advance):
-                return True
-            for attr in ("body", "then_body", "else_body"):
-                sub = getattr(st, attr, None)
-                if sub and self._body_mutates_slots(sub, level, _seen):
-                    return True
-            exprs = []
-            if isinstance(st, N.VarDecl) and st.init is not None:
-                exprs.append(st.init)
-            elif isinstance(st, N.Assign):
-                exprs.append(st.value)
-            elif isinstance(st, N.ExprStmt):
-                exprs.append(st.expr)
-            for e in exprs:
-                for fn2, lvl in self._calls_in_expr(e, level):
-                    key = (id(fn2), lvl)
-                    if key in _seen:
-                        continue
-                    _seen.add(key)
-                    if self._body_mutates_slots(fn2.body, lvl, _seen):
-                        return True
-        return False
-
-    def _calls_in_expr(self, e, level):
-        out = []
-
-        def walk(x):
-            if isinstance(x, N.Call):
-                for a in x.args:
-                    walk(a)
-                out.extend(self._call_targets(x, level) or [])
-            elif isinstance(x, N.BinOp):
-                walk(x.lhs)
-                walk(x.rhs)
-            elif isinstance(x, N.UnOp):
-                walk(x.operand)
-
-        walk(e)
-        return out
-
-    def _ee_signature(self, s: N.RepeatTimes, fr: Frame):
-        """(traced_names, const_items, state_keys, lookup) of the loop."""
-        refs = set()
-        for st in s.body:
-            refs |= self._stmt_refs(st, fr.level)
-        for nm in [nm for nm in refs if nm in self.stencils]:
-            for entry2 in self.stencils[nm].values():
-                if isinstance(entry2, tuple) and entry2 and entry2[0] == "__decl__":
-                    for en in entry2[1].entries:
-                        refs |= self._referenced_names(en.coef)
-                elif isinstance(entry2, tuple) and entry2 and entry2[0] == "__sexpr__":
-                    refs |= self._referenced_names(entry2[1].expr)
-
-        def lookup(nm):
-            return fr.vars[nm] if nm in fr.vars else self.globals.get(nm)
-
-        var_names = sorted(
-            nm for nm in refs
-            if nm not in self.fields and nm not in self.stencils
-            and nm != s.count_var
-            and (nm in fr.vars or nm in self.globals)
-        )
-        if any(is_mat(lookup(nm)) for nm in var_names):
-            return None  # matrix-valued carry not supported
-
-        def traceable(v):
-            return isinstance(v, (int, float, complex, np.floating, np.integer)) \
-                or hasattr(v, "shape")
-
-        traced_names = tuple(
-            nm for nm in var_names
-            if lookup(nm) is not None and traceable(lookup(nm))
-        )
-        const_items = tuple(
-            (nm, repr(lookup(nm))) for nm in var_names if nm not in traced_names
-        )
-        # carry only the (field, level) instances the loop touches: the
-        # while carry is copied through per-iteration selects, so pulling
-        # every level of a field name in would copy the FINE grids once
-        # per coarse-CG iteration
-        touched = set()
-        exact = True
-        for st in s.body:
-            t = self._stmt_field_levels(st, fr.level)
-            if t is None:
-                exact = False
-                break
-            touched |= t
-        # stencil-coefficient field reads: include all levels (rare)
-        coef_names = {nm for nm in refs if nm in self.stencils}
-        if exact:
-            state_keys = tuple(sorted(
-                k2 for k2 in self.state
-                if k2 in touched or (k2[0] in refs and k2[0] in coef_names)
-                or ("__ghost" in k2[0]
-                    and (k2[0].split("__ghost")[0], k2[1]) in touched)
-            ))
-        else:
-            state_keys = tuple(sorted(
-                k2 for k2 in self.state
-                if k2[0] in refs or k2[0].split("__ghost")[0] in refs
-            ))
-        return traced_names, const_items, state_keys, lookup
-
-    def _stmt_field_levels(self, s, level, _seen=None):
-        """Set of (field, level) instances a statement can touch, or
-        None when a level spec cannot be resolved statically."""
-        _seen = _seen if _seen is not None else set()
-        out = set()
-        fr = Frame({}, level)
-
-        def res(spec):
-            try:
-                return self._resolve_level(spec, fr)
-            except Exception:
-                return None
-
-        bad = []
-
-        def expr(e, lvl):
-            if e is None:
-                return
-            if isinstance(e, N.Access):
-                if e.name in self.fields:
-                    r = res(e.level) if e.level is not None else lvl
-                    if r is None:
-                        bad.append(e.name)
-                    else:
-                        out.add((e.name, r))
-            elif isinstance(e, N.BinOp):
-                expr(e.lhs, lvl)
-                expr(e.rhs, lvl)
-            elif isinstance(e, N.UnOp):
-                expr(e.operand, lvl)
-            elif isinstance(e, N.MatrixLit):
-                for row in e.rows:
-                    for x in row:
-                        expr(x, lvl)
-            elif isinstance(e, N.Call):
-                for a in e.args:
-                    expr(a, lvl)
-                for fn2, l2 in (self._call_targets(e, lvl) or []):
-                    key = (id(fn2), l2)
-                    if key in _seen:
-                        continue
-                    _seen.add(key)
-                    for st2 in fn2.body:
-                        sub = self._stmt_field_levels(st2, l2, _seen)
-                        if sub is None:
-                            bad.append(e.name)
-                        else:
-                            out.update(sub)
-
-        if isinstance(s, (N.Communicate, N.ApplyBC, N.Advance)):
-            r = res(s.field.level) if s.field.level is not None else level
-            if r is None:
-                return None
-            out.add((s.field.name, r))
-        elif isinstance(s, N.VarDecl):
-            expr(s.init, level)
-        elif isinstance(s, N.Assign):
-            if s.target.name in self.fields:
-                r = res(s.target.level) if s.target.level is not None else level
-                if r is None:
-                    return None
-                out.add((s.target.name, r))
-            expr(s.value, level)
-        elif isinstance(s, N.If):
-            expr(s.cond, level)
-            for x in s.then_body + s.else_body:
-                sub = self._stmt_field_levels(x, level, _seen)
-                if sub is None:
-                    return None
-                out.update(sub)
-        elif isinstance(s, (N.RepeatTimes, N.LoopOverFragments, N.LevelScope,
-                            N.RepeatWith, N.ColorWith)):
-            if isinstance(s, N.RepeatTimes):
-                expr(s.count, level)
-            for x in s.body:
-                sub = self._stmt_field_levels(x, level, _seen)
-                if sub is None:
-                    return None
-                out.update(sub)
-        elif isinstance(s, N.LoopOverField):
-            r = res(s.field.level) if s.field.level is not None else level
-            if r is None:
-                return None
-            out.add((s.field.name, r))
-            expr(s.condition, level)
-            for x in s.body:
-                sub = self._stmt_field_levels(x, level, _seen)
-                if sub is None:
-                    return None
-                out.update(sub)
-        elif isinstance(s, N.SolveLocally):
-            for u in s.unknowns:
-                r = res(u.level) if u.level is not None else level
-                if r is None:
-                    return None
-                out.add((u.name, r))
-            for lhs, rhs in s.equations:
-                expr(lhs, level)
-                expr(rhs, level)
-        elif isinstance(s, N.ExprStmt):
-            expr(s.expr, level)
-        elif isinstance(s, N.Return):
-            expr(s.value, level)
-        return None if bad else out
-
-    def _exec_repeat_early_exit(self, s: N.RepeatTimes, fr: Frame, parts):
-        """Returns "return" (early exit taken — caller raises _Return),
-        True (loop completed), or False (bail to eager execution)."""
-        key0 = ("__ee__", id(s), fr.level)
-        if key0 in self._stage_blacklist:
-            return False
-        sig = self._ee_signature(s, fr)
-        if sig is None:
-            return False
-        traced_names, const_items, state_keys, lookup = sig
-        n = int(self.eval_expr(s.count, fr, None))
-        slot_snap = tuple(sorted(self.slot_index.items()))
-        key = (key0, n, traced_names, const_items, slot_snap, state_keys)
-        entry = self._stage_cache.get(key)
-        state_in = tuple(self.state[k2] for k2 in state_keys)
-        vars_in = tuple(jnp.asarray(lookup(nm)) for nm in traced_names)
-        if entry is None:
-            base_vars, base_globals = dict(fr.vars), dict(self.globals)
-            entry = {"fn": jax.jit(
-                lambda st_in, v_in: self._ee_while(
-                    s, parts, n, state_keys, traced_names,
-                    base_vars, base_globals, fr.level, st_in, v_in)
-            )}
-            snapshot = (dict(self.state), dict(self.globals),
-                        dict(self.slot_index), dict(fr.vars))
-            try:
-                outs = entry["fn"](state_in, vars_in)
-            except Exception:
-                self.state, self.globals, self.slot_index = (
-                    snapshot[0], snapshot[1], snapshot[2])
-                fr.vars.clear()
-                fr.vars.update(snapshot[3])
-                self._in_trace = False
-                self._stage_blacklist.add(key0)
-                return False
-            self._stage_cache[key] = entry
-        else:
-            outs = entry["fn"](state_in, vars_in)
-        state_out, vars_out, it_out, done = outs
-        for k2, v in zip(state_keys, state_out):
-            self.state[k2] = v
-        for nm, v in zip(traced_names, vars_out):
-            if nm in fr.vars:
-                fr.vars[nm] = v
-            else:
-                self.globals[nm] = v
-        if s.count_var is not None:
-            fr.vars[s.count_var] = it_out
-        return "return" if bool(done) else True  # ONE host sync
-
-    def _exec_repeat_early_exit_traced(self, s: N.RepeatTimes, fr: Frame, parts):
-        """Inline while_loop lowering when already inside a trace: only
-        reachable in tail position (enforced by _fn_stageable), where the
-        early `return` is equivalent to a loop break — no host sync."""
-        sig = self._ee_signature(s, fr)
-        if sig is None:
-            raise RuntimeError("early-exit repeat with untraceable carry")
-        traced_names, _const, state_keys, lookup = sig
-        n = int(self.eval_expr(s.count, fr, None))
-        state_in = tuple(self.state[k2] for k2 in state_keys)
-        vars_in = tuple(jnp.asarray(lookup(nm)) for nm in traced_names)
-        outs = self._ee_while(
-            s, parts, n, state_keys, traced_names,
-            dict(fr.vars), dict(self.globals), fr.level, state_in, vars_in)
-        state_out, vars_out, it_out, _done = outs
-        for k2, v in zip(state_keys, state_out):
-            self.state[k2] = v
-        for nm, v in zip(traced_names, vars_out):
-            if nm in fr.vars:
-                fr.vars[nm] = v
-            else:
-                self.globals[nm] = v
-        if s.count_var is not None:
-            fr.vars[s.count_var] = it_out
-
-    def _ee_while(self, s, parts, n, state_keys, traced_names,
-                  base_vars, base_globals, level, state_in, vars_in):
-        pre, cond_expr, post = parts
-        vdtypes = [jnp.asarray(v).dtype for v in vars_in]
-
-        def run_once(carry):
-            state_t, vars_t, it, done = carry
-            prev = (self.state, self.globals, self.slot_index, self._in_trace)
-            fr2 = Frame(dict(base_vars), level)
-            glob2 = dict(base_globals)
-            for nm, v in zip(traced_names, vars_t):
-                if nm in base_vars:
-                    fr2.vars[nm] = v
-                else:
-                    glob2[nm] = v
-            if s.count_var is not None:
-                fr2.vars[s.count_var] = it
-            self.state = dict(zip(state_keys, state_t))
-            self.globals = glob2
-            self.slot_index = dict(prev[2])
-            self._in_trace = True
-            try:
-                for st in pre:
-                    self.exec_stmt(st, fr2, None)
-                done2 = jnp.asarray(self.eval_expr(cond_expr, fr2, None), bool)
-                # post executes only when not exiting: compute, then
-                # select back the pre-post values on exit
-                snap_state = dict(self.state)
-                snap_vars = dict(fr2.vars)
-                snap_glob = dict(glob2)
-                for st in post:
-                    self.exec_stmt(st, fr2, None)
-                extra = set(self.state) - set(state_keys)
-                if extra:
-                    raise RuntimeError(
-                        f"early-exit loop wrote unscanned fields {extra}")
-                # select back pre-post values on exit, but only for
-                # fields `post` actually wrote (identity check) — the
-                # select is a full-array copy per iteration otherwise
-                new_state = tuple(
-                    self.state[k2] if self.state[k2] is snap_state[k2]
-                    else jnp.where(done2, snap_state[k2], self.state[k2])
-                    for k2 in state_keys
-                )
-                new_vars = []
-                for nm, dt in zip(traced_names, vdtypes):
-                    if nm in base_vars:
-                        a, b = snap_vars.get(nm), fr2.vars.get(nm)
-                    else:
-                        a, b = snap_glob.get(nm), glob2.get(nm)
-                    new_vars.append(jnp.where(
-                        done2, jnp.asarray(a, dt), jnp.asarray(b, dt)))
-                return (new_state, tuple(new_vars), it + 1,
-                        jnp.logical_or(done, done2))
-            finally:
-                (self.state, self.globals, self.slot_index,
-                 self._in_trace) = prev
-
-        def cond_fn(c):
-            return jnp.logical_and(c[2] < n, jnp.logical_not(c[3]))
-
-        carry0 = (
-            tuple(state_in),
-            tuple(jnp.asarray(v) for v in vars_in),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-        )
-        return lax.while_loop(cond_fn, run_once, carry0)
 
     def emit(self, text: str, newline: bool = True):
         """Line-buffered output: `std::cout <<` segments without an endl
@@ -3712,7 +2123,11 @@ class L4Executable:
         # (dup-left owned, dup-right excluded: IR_LoopOverPointsInOneFragment
         # IterationOffset bounds).  Cross-fragment stencil reads see the
         # sweep-start state (per-fragment ghost copies, filled by the
-        # `communicate` preceding the loop).
+        # `communicate` preceding the loop).  (A round-5 experiment with
+        # dup-RIGHT ownership — the literal reading of the 'upstream wins'
+        # dup sync — measurably WORSENED fromL1 parity, so this
+        # convention stands as the closer model; see
+        # tests/test_dsl_upper_layers.py module docstring.)
         fsizes = []
         for d in range(nd):
             cells = self.k.cells_per_dim(lvl, d)
@@ -3966,315 +2381,4 @@ class L4Executable:
             else:
                 self.exec_stmt(stmt, fr)
 
-    def _exec_solve_locally(self, s: N.SolveLocally, fr: Frame, loop: _LoopCtx):
-        """Per-point block solve (reference solver/ir/IR_LocalSolve.scala:38,
-        the Vanka building block): unknowns are (field, offset) DOFs
-        around the loop point (e.g. the 5 velocity/pressure DOFs of a
-        staggered Stokes cell); neighbors outside the block are fixed.
-        All points solve their n x n center system simultaneously as a
-        batched dense solve (MXU) followed by the relaxed masked update."""
-        if loop is None:
-            raise ValueError("solve locally outside a loop")
-        nd = len(loop.shape)
-        unknowns = [
-            (u.name, self._resolve_level(u.level, fr), tuple(u.offset or (0,) * nd))
-            for u in s.unknowns
-        ]
-        n = len(unknowns)
-        relax = float(self.eval_expr(s.relax, fr, loop)) if s.relax is not None else 1.0
-        dtype = self.dtype
-        if any(self.fields[nm].is_complex for nm, _, _ in unknowns):
-            dtype = self.complex_dtype  # complex per-point systems (Helmholtz)
-        shape = loop.shape
 
-        rows = []
-        Dm = []
-        for (lhs, rhs) in s.equations:
-            r = self.eval_expr(rhs, fr, loop) - self.eval_expr(lhs, fr, loop)
-            rows.append(jnp.broadcast_to(jnp.asarray(r, dtype), shape))
-            coefs = self._block_coefs(lhs, unknowns, fr, loop)
-            Dm.append([jnp.broadcast_to(jnp.asarray(c, dtype), shape) for c in coefs])
-
-        # unknowns on the physical boundary (Dirichlet DOFs) get identity
-        # rows: delta = 0, value kept for `apply bc` (reference
-        # IR_LocalDirectInvert.scala:80-99, IR_IsValidComputationPoint)
-        for j, (nm, lvl, off) in enumerate(unknowns):
-            valid = self._valid_dof_mask(nm, lvl, off, shape)
-            if valid is None:
-                continue
-            rows[j] = jnp.where(valid, rows[j], 0.0)
-            for jj in range(n):
-                ident = 1.0 if jj == j else 0.0
-                Dm[j][jj] = jnp.where(valid, Dm[j][jj], ident)
-
-        D = jnp.stack([jnp.stack(row, axis=-1) for row in Dm], axis=-2)  # (..., eq, unk)
-        rv = jnp.stack(rows, axis=-1)[..., None]  # (..., eq, 1)
-        delta = jnp.linalg.solve(D, rv)[..., 0]  # (..., unk)
-
-        for j, (nm, lvl, off) in enumerate(unknowns):
-            cur = self.get_field(nm, lvl)
-            upd = relax * delta[..., j]
-            if loop.mask is not None:
-                upd = jnp.where(loop.mask, upd, 0)
-            if cur.shape == tuple(shape) and not any(off):
-                self.set_field(nm, lvl, cur + upd)
-            else:
-                from exastencils_tpu.ops.shardsafe import embed_add
-
-                self.set_field(nm, lvl, embed_add(cur, upd, tuple(off)))
-
-    def _valid_dof_mask(self, name: str, lvl: int, off, shape):
-        """False where the DOF (field, offset) sits on a physical-boundary
-        plane whose value is bc-determined (reference
-        IR_IsValidComputationPoint).  Function BCs count: their dup-plane
-        writes pin those DOFs exactly like Dirichlet values, so local
-        solves must give them identity rows (ExaStokes ApplyBC_u)."""
-        info = self.fields[name]
-        if not isinstance(info.bc_by_level.get(lvl), (DirichletBC, _FunctionBC)):
-            return None
-        loc = info.localization
-        if loc == CELL:
-            return None
-        true_shape = self.true_shape(name, lvl)
-        nd = len(shape)
-        dims = list(range(nd)) if loc == NODE else [FACES.index(loc)]
-        m = None
-        for d in dims:
-            i = lax.broadcasted_iota(jnp.int32, shape, d) + (off[d] if off else 0)
-            ok = jnp.logical_and(i > 0, i < true_shape[d] - 1)
-            m = ok if m is None else jnp.logical_and(m, ok)
-        return m
-
-    def _block_coefs(self, expr: N.Expr, unknowns, fr: Frame, loop):
-        """Coefficient of each block unknown (field, offset) in one local
-        equation: for a term `S@[off_f] * F@[off_f]`, unknown (F, off_u)
-        couples with S.coef[off_u - off_f] (staggered index algebra)."""
-        nd = len(loop.shape)
-        coefs = [0.0] * len(unknowns)
-        unk_fields = {nm for nm, _, _ in unknowns}
-
-        def refs_unknown(e) -> bool:
-            if isinstance(e, N.Access):
-                return e.name in unk_fields
-            if isinstance(e, N.BinOp):
-                return refs_unknown(e.lhs) or refs_unknown(e.rhs)
-            if isinstance(e, N.UnOp):
-                return refs_unknown(e.operand)
-            if isinstance(e, N.Call):
-                return any(refs_unknown(a) for a in e.args)
-            return False
-
-        def add_field_term(acc: N.Access, factor, mult):
-            """factor: None (plain access), scalar/array, or stencil marker."""
-            off_f = tuple(acc.offset or (0,) * nd)
-            lvl_f = self._resolve_level(acc.level, fr)
-            for j, (nm, lvl, off_u) in enumerate(unknowns):
-                if nm != acc.name or lvl != lvl_f:
-                    continue
-                if factor is not None and _is_stencil(factor):
-                    st = factor[1]
-                    delta = tuple(a - b for a, b in zip(off_u, off_f))
-                    cmap = dict(zip(st.offsets, st.coefs))
-                    if delta in cmap:
-                        c = cmap[delta]
-                        if hasattr(c, "shape") and c.shape:
-                            # stencil-field coefficients are per-point
-                            # arrays on the stencil's own grid: read them
-                            # at loop point + off_f
-                            c = self._to_loop_space(c, off_f, loop)
-                        coefs[j] = coefs[j] + mult * c
-                elif off_u == off_f:
-                    coefs[j] = coefs[j] + mult * (1.0 if factor is None else factor)
-
-        def walk(e, mult):
-            if isinstance(e, N.BinOp) and e.op == "+":
-                walk(e.lhs, mult)
-                walk(e.rhs, mult)
-                return
-            if isinstance(e, N.BinOp) and e.op == "-":
-                walk(e.lhs, mult)
-                walk(e.rhs, -1.0 * mult)
-                return
-            if isinstance(e, N.UnOp) and e.op == "-":
-                walk(e.operand, -1.0 * mult)
-                return
-            if isinstance(e, N.Access) and e.name in unk_fields:
-                add_field_term(e, None, mult)
-                return
-            if isinstance(e, N.BinOp) and e.op == "*":
-                if (
-                    isinstance(e.rhs, N.Access)
-                    and e.rhs.name in unk_fields
-                    and not refs_unknown(e.lhs)
-                ):
-                    add_field_term(e.rhs, self.eval_expr(e.lhs, fr, loop), mult)
-                    return
-                if not refs_unknown(e.lhs):
-                    walk(e.rhs, mult * self._as_scalar(e.lhs, fr, loop))
-                    return
-                if not refs_unknown(e.rhs):
-                    walk(e.lhs, mult * self._as_scalar(e.rhs, fr, loop))
-                    return
-            if not refs_unknown(e):
-                return  # constant term: no center dependence
-            raise ValueError(f"solve locally: cannot linearize {e}")
-
-        walk(expr, 1.0)
-        return coefs
-
-    def _as_scalar(self, e, fr, loop):
-        v = self.eval_expr(e, fr, loop)
-        if _is_stencil(v):
-            raise ValueError("unexpected stencil factor")
-        return v
-
-
-def _classify_mat_shape(M) -> List[str]:
-    """Port of the reference's compile-time structure analysis
-    (baseExt/ir/IR_ClassifyMatShape.scala:174-300 isSchurOrBlockdiag):
-    detects diagonal / blockdiagonal(block) / schur(block, A, Ablock)
-    forms from the nonzero pattern M (2D bool array)."""
-    size = M.shape[0]
-    if size == 1 or M.shape[1] == 1:
-        return ["shape=filled"]
-    # blocksize of the leading (block)diagonal A
-    bA = 1
-    while bA < size:
-        if not any(M[i, bA] or M[bA, i] for i in range(bA)):
-            break
-        bA += 1
-    # blocksize of the trailing Schur block D
-    bD = 0
-    while bD < size:
-        if not any(
-            M[i, size - bD - 1] or M[size - bD - 1, i]
-            for i in range(size - bD - bA)
-        ):
-            break
-        bD += 1
-    if bD == size:
-        return ["shape=filled"]
-    if bA >= (size - bD) // 2 + 1:
-        return ["shape=filled"]
-    border = size - bD
-    for i in range(border):
-        start = (i // bA) * bA + bA
-        for j in range(start, border):
-            if M[i, j] or M[j, i]:
-                return ["shape=filled"]
-    if bD == 0:
-        if bA == 1:
-            return ["shape=diagonal"]
-        if bA == size:
-            return ["shape=filled"]
-        return ["shape=blockdiagonal", f"block={bA}"]
-    if bA == 1:
-        return ["shape=schur", f"block={size - bD}", "A=diagonal"]
-    if bA == size:
-        return ["shape=filled"]
-    return ["shape=schur", f"block={size - bD}", "A=blockdiagonal", f"Ablock={bA}"]
-
-
-def _is_stencil(v) -> bool:
-    return isinstance(v, tuple) and len(v) == 3 and v[0] == "__stencil__"
-
-
-def _scale_stencil(st, s):
-    """Scalar * stencil (reference IR_StencilOps.scale)."""
-    if isinstance(st, BoundStencil):
-        return BoundStencil(st.name, st.offsets, tuple(c * s for c in st.coefs))
-    if isinstance(st, IntergridStencil):
-        kernels = None
-        if st.kernels_1d is not None:
-            kernels = (tuple(v * s for v in st.kernels_1d[0]),) + tuple(
-                st.kernels_1d[1:]
-            )
-        return IntergridStencil(st.kind, st.weights * s, st.lo, kernels)
-    raise TypeError(f"cannot scale {st!r}")
-
-
-def _apply_binop(op, a, b):
-    if is_mat(a) or is_mat(b):
-        return MV.mat_binop(op, a, b)
-    # elementwise-operator spellings degenerate to scalar ops off-matrix
-    op = {".*": "*", "./": "/", ".^": "**", ".%": "**"}.get(op, op)
-    if op == "+":
-        return a + b
-    if op == "-":
-        return a - b
-    if op == "*":
-        return a * b
-    if op == "/":
-        return a / b
-    if op == "%":
-        return a % b
-    if op == "**":
-        return a ** b
-    if op == "==":
-        return a == b
-    if op == "!=":
-        return a != b
-    if op == "<":
-        return a < b
-    if op == "<=":
-        return a <= b
-    if op == ">":
-        return a > b
-    if op == ">=":
-        return a >= b
-    if op == "&&":
-        return jnp.logical_and(a, b) if hasattr(a, "shape") or hasattr(b, "shape") else (a and b)
-    if op == "||":
-        return jnp.logical_or(a, b) if hasattr(a, "shape") or hasattr(b, "shape") else (a or b)
-    raise ValueError(f"unknown operator {op}")
-
-
-def _apply_assign(op, cur, val):
-    if op == "=":
-        return val if not hasattr(cur, "shape") else jnp.broadcast_to(
-            jnp.asarray(val, cur.dtype), cur.shape
-        )
-    if op == "+=":
-        return cur + val
-    if op == "-=":
-        return cur - val
-    if op == "*=":
-        return cur * val
-    if op == "/=":
-        return cur / val
-    raise ValueError(f"unknown assign op {op}")
-
-
-def _shift(arr, offset):
-    """Field access with constant offset: zero-padded shifted view.
-    Only the leading len(offset) dims shift (trailing matrix-element
-    dims pass through)."""
-    r = max(abs(o) for o in offset)
-    if r == 0:
-        return arr
-    extra = arr.ndim - len(offset)
-    pads = ((r, r),) * len(offset) + ((0, 0),) * extra
-    xp = jnp.pad(arr, pads)
-    sl = tuple(slice(r + o, r + o + n) for o, n in zip(offset, arr.shape))
-    return xp[sl]
-
-
-def _fmt(v, precision: int = 6) -> str:
-    """C++ `std::cout <<` default formatting at the current stream
-    precision (%.Ng general form; std::complex prints `(re,im)`)."""
-    if isinstance(v, str):
-        return v
-    if is_mat(v):
-        flat = np.asarray(v.data).reshape(-1)
-        return "[" + " ".join(_fmt(x, precision) for x in flat) + "]"
-    if isinstance(v, complex) or (hasattr(v, "dtype") and np.iscomplexobj(v)):
-        c = complex(v)
-        return "(%s,%s)" % (
-            "%.*g" % (precision, c.real), "%.*g" % (precision, c.imag)
-        )
-    if isinstance(v, (int, np.integer)):
-        return str(int(v))
-    if isinstance(v, (bool, np.bool_)):
-        return "1" if v else "0"
-    f = float(v)
-    return "%.*g" % (precision, f)

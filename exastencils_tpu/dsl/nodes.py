@@ -515,6 +515,14 @@ def substitute(node, mapping):
                     sten_entry=x.sten_entry or r.sten_entry,
                 )
             return sub_generic(r)  # literal / expression argument
+        if isinstance(x, Call) and x.name in mapping:
+            # a CALLED template parameter (ExaFluids' recursive
+            # templates take their own instantiated name as `self`)
+            r = mapping[x.name]
+            if isinstance(r, Access):
+                return Call(r.name,
+                            x.level if x.level is not None else r.level,
+                            [sub(a) for a in x.args])
         return sub_generic(x)
 
     def sub_generic(x):

@@ -937,8 +937,17 @@ class L4Parser:
                 ts.next()
                 offset0 = ts.next().value
             elif level is None and ts.at("op", "@") and ts.peek().value != "[":
+                mark = ts.i
                 ts.next()
                 level = self.parse_level_spec_after_at()
+                if isinstance(level, (N.LvlAllBut, N.LvlList, N.LvlAll)) \
+                        and ts.at("op", "{"):
+                    # not this access's level: a level-SCOPE statement
+                    # follows (`apply bc to dest \n @(all but ...) { ... }`
+                    # — ExaFluids templates; multi-level specs are not
+                    # meaningful on a value access anyway).  Backtrack.
+                    ts.i = mark
+                    break
             elif offset0 is None and ts.at("op", "@") and ts.peek().value == "[":
                 ts.next()
                 offset0 = self.parse_int_list()

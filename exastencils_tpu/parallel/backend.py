@@ -331,12 +331,13 @@ class ShardedBackend:
         all-reduce; the crossover level is tiny by construction)."""
         h = self.handles[level]
         topo = self.topo
-        gs, nd = topo.ghosts, topo.ndim
+        nd = topo.ndim
         S = h.grid.shape_of(NODE)
         owned = topo.owned_mask(h.local_shape, h.local_cells)
         xo = jnp.where(owned, x, 0)
+        lay = topo.layout(tuple(h.local_cells))
         block = xo[tuple(
-            slice(g, g + n + 1) for g, n in zip(gs, h.local_cells)
+            slice(lay.idx("DLB", d), lay.idx("DRE", d)) for d in range(nd)
         )]
         starts = tuple(
             topo.axis_index(d) * h.local_cells[d] for d in range(nd)

@@ -39,3 +39,8 @@ def pytest_configure(config):
         "slow: long-running suite — the quick gate (ci.sh) deselects these; "
         "the full tier (ci.sh full / nightly) runs everything",
     )
+    config.addinivalue_line(
+        "markers",
+        "huge: 576^3-scale goldens (~20 min each) — nightly tier only "
+        "(ci.sh nightly)",
+    )

@@ -58,3 +58,30 @@ def test_exastokes2d_tracks_golden(reference_root):
         assert vb / 1.5 <= va <= vb * 1.5, f"line {i}: {a} vs {b}"
     # convergence end state: same magnitude as the golden's final lines
     assert float(lines[-1]) < 1e-8
+
+
+def test_exafluids_tracks_golden(reference_root):
+    """ExaFluids (Testing/Application/ExaFluids.*): a finite-volume
+    staggered flow solver with Vector<7> stencil-field coefficients,
+    recursive FunctionTemplates (StencilRestrictionComponent), and a
+    time loop.  The first three timesteps reproduce the golden digit for
+    digit (33+ lines); later timesteps sit on ~1e-10 residual tails
+    where local-solve arithmetic differences accumulate — gated to a
+    measured 3x band, iteration counts to +-1."""
+    lines, golden = _run(reference_root, "ExaFluids")
+    assert len(lines) == len(golden)
+    assert lines[:33] == golden[:33]
+    for i, (a, b) in enumerate(zip(lines, golden)):
+        if a == b:
+            continue
+        if "EFFECTIVELY ZERO" in (a, b):
+            other = b if a == "EFFECTIVELY ZERO" else a
+            assert float(other) < 1e-9, f"line {i}: {a} vs {b}"
+            continue
+        pa, pb = a.split(), b.split()
+        if len(pa) == 2 and len(pb) == 2:  # "<time> <iterations>"
+            assert pa[0] == pb[0] and abs(int(pa[1]) - int(pb[1])) <= 1, \
+                f"line {i}: {a} vs {b}"
+            continue
+        va, vb = float(a), float(b)
+        assert vb / 3 <= va <= vb * 3, f"line {i}: {a} vs {b}"

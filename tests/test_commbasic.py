@@ -36,6 +36,10 @@ GOLDEN_CASES = ["2D", "PureMPI", "ComplexNumbers", "Summarize",
                 # 27-fragment 192^3 multigrid (~2 min CPU f64)
                 "PureOMP"]
 
+# 27-block 576^3 multigrid suites (~18 min each on the CPU test rig;
+# Strategy26 = 26-neighbor comm_strategyFragment) — nightly tier
+HUGE_GOLDEN_CASES = ["Strategy26", "Strategy26Cell", "HybridCell"]
+
 
 def _run(base, mesh=None, shard=True, capture_hlo=False, decomp=None):
     k = Knowledge()
@@ -62,6 +66,19 @@ def _run(base, mesh=None, shard=True, capture_hlo=False, decomp=None):
     )
     ex.run()
     return ex, lines
+
+
+@pytest.mark.huge
+@pytest.mark.parametrize("name", HUGE_GOLDEN_CASES)
+def test_commbasic_huge_golden(name, reference_root):
+    """The 576^3 remainder of the CommBasic matrix, run through the
+    sharded DSL path against the committed .results (verified to match;
+    Strategy26 exercises the 26-neighbor exchange strategy)."""
+    base = os.path.join(reference_root, "Testing", "CommBasic", name)
+    _, lines = _run(base)
+    with open(base + ".results") as f:
+        golden = [l.strip() for l in f]
+    assert [l.strip() for l in lines] == golden
 
 
 @pytest.mark.parametrize("name", GOLDEN_CASES)

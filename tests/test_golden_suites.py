@@ -69,7 +69,11 @@ OPTS_ALL = [
                 "__float_naive", "__float_vect", "__float_vectAl",
                 "__float_vectAlAl")
 ]
-OPTS_SLOW = [kn for kn in OPTS_ALL if kn not in ("seq_naive", "seq_all")]
+# seq variants: 64^3 (slow tier); par variants: 513^3 global grids
+# (huge/nightly tier, like the 576^3 CommBasic suites)
+OPTS_SLOW = [kn for kn in OPTS_ALL
+             if kn.startswith("seq") and kn not in ("seq_naive", "seq_all")]
+OPTS_HUGE = [kn for kn in OPTS_ALL if kn.startswith("par")]
 
 # 3D variants (64^3 f64 multigrid on the CPU test backend: minutes each)
 CASES_3D = [
@@ -131,5 +135,14 @@ def test_opts_matrix_golden(kn, reference_root, tmp_path):
     (optimization knobs must not change semantics; the vect/unroll/poly/
     addrPre flags are accepted compat no-ops here — XLA owns those
     passes — so each variant must still reproduce the .results)."""
+    _run_golden("Opts", (kn, _opts_exa(kn), _opts_results(kn)),
+                reference_root, tmp_path)
+
+
+@pytest.mark.huge
+@pytest.mark.parametrize("kn", OPTS_HUGE)
+def test_opts_matrix_golden_par(kn, reference_root, tmp_path):
+    """The par_* half of the Opts matrix: the same programs on the
+    513^3 8-block decomposition (nightly tier)."""
     _run_golden("Opts", (kn, _opts_exa(kn), _opts_results(kn)),
                 reference_root, tmp_path)

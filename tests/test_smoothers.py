@@ -96,3 +96,46 @@ def test_smoother_mesh_invariance(name, reference_root):
     dense = _run(base, shard=False)
     sharded = _run(base, shard=True)
     assert sharded == dense
+
+
+def _run_full(base):
+    """The COMMITTED decomposition (3x3x3 blocks x 3x3x3 frags x 2^6 =
+    576^3 finest) — reference-golden digits, nightly tier."""
+    k = Knowledge()
+    parse_config_file(base + ".knowledge", k)
+    k.tpu_coarse_replicate_threshold = 4
+    k.update()
+    prog = parse_l4(base + ".exa4")
+    lines = []
+    L4Executable(prog, k, out=lines.append).run()
+    return lines
+
+
+@pytest.mark.huge
+@pytest.mark.parametrize("name", ["Jac", "GS", "RBGS", "BS"])
+def test_smoother_full_golden(name, reference_root):
+    """Digit parity with the committed 576^3 .results (VERDICT r4 weak
+    #5: the threshold gates above would accept a 2x convergence
+    regression; these pin the exact residual sequence)."""
+    base = os.path.join(reference_root, "Testing", "Smoothers", name)
+    lines = _run_full(base)
+    with open(base + ".results") as f:
+        golden = [l.strip() for l in f]
+    assert [l.strip() for l in lines] == golden
+
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "goldens")
+
+
+@pytest.mark.parametrize("name", [c[0] for c in CASES], ids=[c[0] for c in CASES])
+def test_smoother_repo_digit_golden(name, reference_root):
+    """Repo-local reduced-size (64^3, 1x1x1) digit goldens: a regression
+    pin between nightly full-size runs — any change to smoother
+    arithmetic or ordering flips a digit here immediately."""
+    base = os.path.join(reference_root, "Testing", "Smoothers", name)
+    lines = _run(base)
+    path = os.path.join(GOLDEN_DIR, f"smoothers_{name}.txt")
+    with open(path) as f:
+        golden = [l.strip() for l in f]
+    assert [l.strip() for l in lines] == golden
