@@ -159,10 +159,13 @@ class L4StagingMixin:
                     and all(self._stmt_stageable(x, level) for x in s.then_body)
                     and all(self._stmt_stageable(x, level) for x in s.else_body))
         if isinstance(s, N.RepeatTimes):
-            # large static repeats over field loops would UNROLL into the
-            # trace (a Smoother coarse-grid solver is `repeat 128 times`
-            # of full sweeps — LinearElasticity traced for minutes);
-            # leave them eager: each sweep replays one cached staged run
+            # large static repeats UNROLL into the enclosing trace (a
+            # `repeat 128 times` Smoother coarse solve traced for
+            # minutes — LinearElasticity).  Refuse staging here; the
+            # eager encounter then lowers the loop to ONE
+            # lax.while_loop-staged computation (exec_stmt's fori path),
+            # so it still costs a single dispatch.  Early-exit repeats
+            # are unaffected (they already lower to a while_loop).
             if (isinstance(s.count, N.Num) and float(s.count.value) > 24
                     and any(isinstance(x, (N.LoopOverField, N.ColorWith))
                             for x in s.body)):

@@ -630,8 +630,19 @@ class L4Executable(L4BuiltinsMixin, L4StagingMixin, L4LocalSolveMixin):
                 with jax.ensure_compile_time_eval():
                     coefs.append(self._eval_const(e.coef, env))
             except ValueError:
-                cacheable = False
-                coefs.append(self.eval_expr(e.coef, Frame({}, level), None))
+                # general geometry expressions (vf_nodePos offsets —
+                # LinearElasticity's width formulas): still static as
+                # long as no FIELD is read, so evaluate once and cache;
+                # re-evaluating per use made 128-sweep coarse solves
+                # trace for minutes (round-5 finding)
+                refs = self._referenced_names(e.coef)
+                if refs & set(self.fields) or refs & set(self.stencils):
+                    cacheable = False
+                    coefs.append(self.eval_expr(e.coef, Frame({}, level), None))
+                else:
+                    with jax.ensure_compile_time_eval():
+                        coefs.append(
+                            self.eval_expr(e.coef, Frame({}, level), None))
         st = BoundStencil(sd.name, tuple(offsets), tuple(coefs))
         if cacheable:
             self._stencil_cache[key] = st
@@ -1563,6 +1574,16 @@ class L4Executable(L4BuiltinsMixin, L4StagingMixin, L4LocalSolveMixin):
         elif isinstance(s, N.RepeatTimes):
             if self.jit_functions and loop is None:
                 parts = self._match_early_exit_repeat(s, fr.level)
+                if parts is None and not self._in_trace \
+                        and isinstance(s.count, N.Num) \
+                        and float(s.count.value) > 24 \
+                        and all(self._stmt_stageable(x, fr.level)
+                                for x in s.body) \
+                        and not self._body_mutates_slots(s.body, fr.level):
+                    # large no-exit repeat: one while_loop-staged
+                    # computation with a never-true exit condition
+                    # (trace the body ONCE instead of unrolling 128x)
+                    parts = (list(s.body), N.Num(0, is_int=True), [])
                 if parts is not None:
                     if self._in_trace:
                         # tail position (enforced by _fn_stageable):
