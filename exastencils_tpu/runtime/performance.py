@@ -146,4 +146,12 @@ def smoother_traffic_bytes(ndim: int, dtype_bytes: int = 4, colors: int = 2) -> 
 # measured-bandwidth fused roofline (vs_fused_roofline_measured) next
 # to the spec-based number; the remaining honest levers are pipeline-
 # level (deeper DMA batching), not arithmetic.
+#
+# Round-5 shipped state (BENCH detail on the real chip, 512^3 f32):
+#   dense V(3,3)           : 6.71 GLUP/s  (20.1 ms/cycle)
+#   full-cycle A/B         : v1 single-plane 23.2 ms, v2 pair 20.1 ms
+#   stream triad (measured): 359 GB/s -> fused roofline 12.6 GLUP/s
+#   vs_fused measured/spec : 0.53 / 0.23
+#   sharded (1x1x1 mesh)   : 6.68 GLUP/s = 99.6% of dense (was 54% in
+#     round 4) — per-dim ghost widths + sharded whole-leg fusion
 # ----------------------------------------------------------------------
