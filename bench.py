@@ -240,6 +240,15 @@ def bench_sharded(size_level, n_timed, detail):
     detail["sharded_glups"] = round(float(n) ** 3 / scycle_s / 1e9, 4)
     detail["sharded_cycle_ms"] = round(scycle_s * 1e3, 3)
     detail["sharded_mesh"] = "x".join(map(str, dims))
+    if max(dims) == 1:
+        # honest scope note: comm/compute overlap and halo aggregation
+        # need a sharded axis (P[d] > 1); on this single-chip
+        # environment they cannot execute on-device — their bitwise
+        # parity and composition are covered on a 2x2 virtual-CPU mesh
+        # by tests/test_overlap_agg.py, and the whole-leg fused path
+        # (which supersedes them on the bench problem) IS measured
+        # above (sharded_kernel_mode)
+        detail["overlap_ab"] = "n/a-single-chip (see tests/test_overlap_agg.py)"
     top = ssolver.gen.mg.levels[ssolver.knowledge.maxLevel]
     if top.down_leg_fn is not None:
         detail["sharded_kernel_mode"] = "pallas-whole-leg"
