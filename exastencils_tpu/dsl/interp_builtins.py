@@ -514,6 +514,21 @@ class L4BuiltinsMixin:
             extra = ()
         lvl = self._resolve_level(acc.level, fr)
         arr = self.get_field(acc.name, lvl)
+        if op == "printField" and backend == "lock":
+            # ascii visualization output carries positions + value
+            # (reference printField; the non-uniform IO examples check
+            # exactly this), binary stays raw values
+            from exastencils_tpu.runtime.fieldio import print_field_lock
+
+            binary = (bool(self.eval_expr(e.args[3], fr, loop))
+                      if len(e.args) > 3 else False)
+            sep = (str(self.eval_expr(e.args[5], fr, loop))
+                   if len(e.args) > 5 else ",")
+            coords = self.grids[lvl].coord_mesh(
+                self.fields[acc.name].localization)
+            print_field_lock(path, arr, coords=coords, binary=binary,
+                             sep=sep)
+            return None
         if op == "printField":
             # visualization output of the same backend family: reuse the
             # write path (xdmf companions are runtime/vtk's job)
@@ -521,8 +536,9 @@ class L4BuiltinsMixin:
         if op == "writeField":
             fn = getattr(FIO, f"write_field_{backend}")
             if backend == "lock":
-                # (path, field, useGhost, useAscii, condition, separator)
-                binary = (not bool(self.eval_expr(e.args[3], fr, loop))
+                # (path, field, useGhost, useBinary, condition, separator)
+                # — io/ir/IR_FileAccess_Locking.scala:19 `useBinary`
+                binary = (bool(self.eval_expr(e.args[3], fr, loop))
                           if len(e.args) > 3 else False)
                 if len(e.args) > 4:
                     # a per-point condition selects the written subset in
@@ -547,7 +563,7 @@ class L4BuiltinsMixin:
             return None
         fn = getattr(FIO, f"read_field_{backend}")
         if backend == "lock":
-            binary = (not bool(self.eval_expr(e.args[3], fr, loop))
+            binary = (bool(self.eval_expr(e.args[3], fr, loop))
                       if len(e.args) > 3 else False)
             sep = (str(self.eval_expr(e.args[5], fr, loop))
                    if len(e.args) > 5 else ",")

@@ -81,6 +81,25 @@ def write_field_lock(path: str, arr, binary: bool = False, sep: str = ",") -> No
                    delimiter=sep)
 
 
+def print_field_lock(path: str, arr, coords=None, binary: bool = False,
+                     sep: str = ",") -> None:
+    """Visualization form of the locking backend: ascii rows carry the
+    grid POSITIONS followed by the value(s) (the reference's printField
+    emits positions so non-uniform grids visualize correctly,
+    io/ir + Examples/IO/2D_PrintField_NonUniform_AA); binary output
+    stays raw values like writeField."""
+    if binary or coords is None:
+        return write_field_lock(path, arr, binary=binary, sep=sep)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    host = _to_host(arr)
+    nd = len(coords)
+    gshape = host.shape[:nd]
+    cols = [np.broadcast_to(np.asarray(c), gshape).reshape(-1)
+            for c in coords]
+    vals = host.reshape(int(np.prod(gshape)), -1)
+    np.savetxt(path, np.column_stack(cols + [vals]), delimiter=sep)
+
+
 def read_field_lock(path: str, like, binary: bool = False, sep: str = ","):
     import jax.numpy as jnp
 

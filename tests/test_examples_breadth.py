@@ -81,7 +81,11 @@ def test_io_nonuniform_printfield(reference_root, tmp_path, monkeypatch):
     dataset argument and a scalar condition argument."""
     monkeypatch.chdir(tmp_path)
     (tmp_path / "data").mkdir()
-    lines, k = _run_example("IO", "2D_PrintField_NonUniform_AA")
+    # the committed maxLevel=1 grid has 4 cells, where the reference's
+    # linearFct formula degenerates to uniform spacing (the stretch
+    # zones are empty); level 5 shows the real 8:1 stretching
+    lines, k = _run_example("IO", "2D_PrintField_NonUniform_AA",
+                            max_level=5)
     files = sorted(os.listdir(tmp_path / "data"))
     assert len(files) >= 10, files
     assert any(f.endswith(".csv") for f in files)
@@ -90,8 +94,8 @@ def test_io_nonuniform_printfield(reference_root, tmp_path, monkeypatch):
     # non-constant (grid_spacingModel = linearFct)
     import numpy as np
 
-    csv = next(f for f in files if f == "srcNode_vis.csv")
-    rows = np.loadtxt(tmp_path / "data" / csv, delimiter=",", skiprows=1)
+    csv = next(f for f in files if f == "srcFace_vis.csv")
+    rows = np.loadtxt(tmp_path / "data" / csv, delimiter=",")
     xs = np.unique(rows[:, 0])
     dx = np.diff(xs)
     assert dx.max() / dx.min() > 1.5, "grid not stretched"
