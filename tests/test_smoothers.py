@@ -116,7 +116,11 @@ def _run_full(base):
 def test_smoother_full_golden(name, reference_root):
     """Digit parity with the committed 576^3 .results (VERDICT r4 weak
     #5: the threshold gates above would accept a 2x convergence
-    regression; these pin the exact residual sequence)."""
+    regression; these pin the exact residual sequence).  GS is the
+    slowest (its sequential sweep runs as a fragment-local wavefront:
+    ~1 h on the CPU rig); the repo-local 64^3 digit goldens above give
+    the per-change regression signal, these give nightly reference
+    parity like the verified 576^3 CommBasic suites."""
     base = os.path.join(reference_root, "Testing", "Smoothers", name)
     lines = _run_full(base)
     with open(base + ".results") as f:
